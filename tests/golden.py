@@ -44,7 +44,8 @@ def load_cached_outputs(test_name, descriptor):
     return [load_cache(f) for f in files]
 
 
-def compare_dict(current, cached, rtol=1e-6, atol=1e-10, context=''):
+def compare_dict(current, cached, rtol=1e-6, atol=1e-10, context='',
+                 ignore=()):
     """Compare a dict of DataArrays against one cached dict.
 
     Alignment is by dim name: the current array is transposed so its dims
@@ -52,7 +53,7 @@ def compare_dict(current, cached, rtol=1e-6, atol=1e-10, context=''):
     are layout-independent, tests/test_components.py:216-250).
     """
     for name, (cached_values, cached_units, cached_dims) in cached.items():
-        if name == 'time':
+        if name == 'time' or name in ignore:
             continue
         assert name in current, \
             '{}: missing output {!r} (have {})'.format(
@@ -60,6 +61,17 @@ def compare_dict(current, cached, rtol=1e-6, atol=1e-10, context=''):
         value = current[name]
         if cached_units and value.units != cached_units:
             value = value.to_units(cached_units)
+        if cached_values.dtype.kind == 'S':
+            # netCDF stores strings as fixed-width char arrays: join the
+            # trailing char axis and compare as strings
+            joined = cached_values.view('S{}'.format(
+                cached_values.shape[-1])).squeeze(-1)
+            decoded = np.char.decode(joined)
+            current_str = np.asarray(value.values).astype(str)
+            assert np.array_equal(
+                np.sort(current_str.ravel()), np.sort(decoded.ravel())), \
+                '{}: string mismatch in {!r}'.format(context, name)
+            continue
         arr = value
         # align dims by name where possible
         if set(value.dims) == set(cached_dims) and value.dims != tuple(
@@ -69,14 +81,15 @@ def compare_dict(current, cached, rtol=1e-6, atol=1e-10, context=''):
             np.asarray(arr.values), cached_values, rtol=rtol, atol=atol,
             err_msg='{}: mismatch in {!r}'.format(context, name))
     for name in current:
-        if name == 'time':
+        if name == 'time' or name in ignore:
             continue
         assert name in cached, \
             '{}: extra output {!r} not in cache (cache has {})'.format(
                 context, name, sorted(cached.keys()))
 
 
-def compare_outputs(output, cached_list, rtol=1e-6, atol=1e-10, context=''):
+def compare_outputs(output, cached_list, rtol=1e-6, atol=1e-10, context='',
+                    ignore=()):
     """Compare a component's output (dict or tuple of dicts) against the
     ordered cached dicts."""
     if isinstance(output, dict):
@@ -86,4 +99,4 @@ def compare_outputs(output, cached_list, rtol=1e-6, atol=1e-10, context=''):
             context, len(output), len(cached_list))
     for i, (cur, cac) in enumerate(zip(output, cached_list)):
         compare_dict(cur, cac, rtol=rtol, atol=atol,
-                     context='{}[{}]'.format(context, i))
+                     context='{}[{}]'.format(context, i), ignore=ignore)

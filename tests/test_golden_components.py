@@ -35,6 +35,7 @@ class GoldenBase:
     test_name = None          # reference test class name
     rtol = 1e-6
     atol = 1e-10
+    ignore = ()
     check_column = True
     check_3d = True
     check_stepping = True
@@ -58,7 +59,8 @@ class GoldenBase:
         output = call_component(component, state)
         cached = load_cached_outputs(self.test_name, 'column')
         compare_outputs(output, cached, self.rtol, self.atol,
-                        context=self.test_name + ':column')
+                        context=self.test_name + ':column',
+                        ignore=self.ignore)
 
     def test_3d(self):
         if not self.check_3d:
@@ -68,7 +70,8 @@ class GoldenBase:
         output = call_component(component, state)
         cached = load_cached_outputs(self.test_name, '3d')
         compare_outputs(output, cached, self.rtol, self.atol,
-                        context=self.test_name + ':3d')
+                        context=self.test_name + ':3d',
+                        ignore=self.ignore)
 
     def test_column_stepping(self):
         component = self.get_component_instance()
@@ -80,7 +83,8 @@ class GoldenBase:
         output = call_component(stepper, state)
         cached = load_cached_outputs(self.test_name, 'column_stepping')
         compare_outputs(output, cached, self.rtol, self.atol,
-                        context=self.test_name + ':column_stepping')
+                        context=self.test_name + ':column_stepping',
+                        ignore=self.ignore)
 
     def test_3d_stepping(self):
         component = self.get_component_instance()
@@ -92,7 +96,8 @@ class GoldenBase:
         output = call_component(stepper, state)
         cached = load_cached_outputs(self.test_name, '3d_stepping')
         compare_outputs(output, cached, self.rtol, self.atol,
-                        context=self.test_name + ':3d_stepping')
+                        context=self.test_name + ':3d_stepping',
+                        ignore=self.ignore)
 
     def test_transposed_3d_gives_same_output(self):
         if not self.check_3d:
@@ -110,7 +115,8 @@ class GoldenBase:
         output = call_component(component, state)
         cached = load_cached_outputs(self.test_name, '3d')
         compare_outputs(output, cached, self.rtol, self.atol,
-                        context=self.test_name + ':transposed')
+                        context=self.test_name + ':transposed',
+                        ignore=self.ignore)
 
 
 class TestFrierson06LongwaveOpticalDepth(GoldenBase):
@@ -130,3 +136,49 @@ class TestGrayLongwaveRadiation(GoldenBase):
 
     def get_component_instance(self):
         return ct.GrayLongwaveRadiation()
+
+
+class TestHeldSuarez(GoldenBase):
+    test_name = 'TestHeldSuarez'
+
+    def get_component_instance(self):
+        return ct.HeldSuarez()
+
+
+class TestGridScaleCondensation(GoldenBase):
+    test_name = 'TestGridScaleCondensation'
+
+    def get_component_instance(self):
+        return ct.GridScaleCondensation()
+
+
+class TestSlabSurface(GoldenBase):
+    test_name = 'TestSlabSurface'
+    # the reference component mutates these *inputs* in place
+    # (slab_surface.py:120-121) and its stepping caches record that side
+    # effect; climt_tpu components are pure by design
+    ignore = ('surface_material_density', 'surface_thermal_capacity')
+
+    def get_component_instance(self):
+        return ct.SlabSurface()
+
+
+class TestDryConvection(GoldenBase):
+    test_name = 'TestDryConvection'
+
+    def get_component_instance(self):
+        return ct.DryConvectiveAdjustment()
+
+
+class TestBucketHydrology(GoldenBase):
+    test_name = 'TestBucketHydrology'
+
+    def get_component_instance(self):
+        return ct.BucketHydrology()
+
+
+class TestInstellation(GoldenBase):
+    test_name = 'TestInstellation'
+
+    def get_component_instance(self):
+        return ct.Instellation()
