@@ -35,6 +35,7 @@ _DEFAULT_CONSTANTS: Dict[str, Tuple[float, str]] = {
 
     # -- solar ---------------------------------------------------------------
     'solar_constant': (1367., 'W m^-2'),
+    'stellar_irradiance': (1367., 'W m^-2'),
 
     # -- dry air -------------------------------------------------------------
     'heat_capacity_of_dry_air_at_constant_pressure': (1004.64, 'J kg^-1 K^-1'),
@@ -51,6 +52,7 @@ _DEFAULT_CONSTANTS: Dict[str, Tuple[float, str]] = {
     'latent_heat_of_fusion': (333550., 'J kg^-1'),
     'freezing_temperature_of_liquid_phase': (273., 'degK'),
     'density_of_liquid_phase': (1e3, 'kg m^-3'),
+    'density_of_liquid_water': (1e3, 'kg m^-3'),
     'heat_capacity_of_liquid_phase': (4185.5, 'J kg^-1 K^-1'),
     'thermal_conductivity_of_liquid_phase': (0.57, 'W m^-1 K^-1'),
     'density_of_solid_phase_as_ice': (916.7, 'kg m^-3'),
@@ -58,7 +60,7 @@ _DEFAULT_CONSTANTS: Dict[str, Tuple[float, str]] = {
     'heat_capacity_of_solid_phase_as_ice': (2108., 'J kg^-1 K^-1'),
     'heat_capacity_of_solid_phase_as_snow': (2108., 'J kg^-1 K^-1'),
     'thermal_conductivity_of_solid_phase_as_ice': (2.22, 'W m^-1 K^-1'),
-    'thermal_conductivity_of_solid_phase_as_snow': (0.3, 'W m^-1 K^-1'),
+    'thermal_conductivity_of_solid_phase_as_snow': (0.2, 'W m^-1 K^-1'),
 }
 
 _CONDENSIBLE_EXTRA = {

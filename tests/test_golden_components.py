@@ -26,7 +26,8 @@ pytestmark = pytest.mark.skipif(
 def call_component(component, state, timestep=timedelta(seconds=10.)):
     np.random.seed(0)
     if isinstance(component, (Stepper, ImplicitTendencyComponent,
-                              ct.AdamsBashforth)):
+                              ct.AdamsBashforth,
+                              ct.TimeDifferencingWrapper)):
         return component(state, timestep)
     return component(state)
 
@@ -182,3 +183,54 @@ class TestInstellation(GoldenBase):
 
     def get_component_instance(self):
         return ct.Instellation()
+
+
+class TestBergerSolarInsolation(GoldenBase):
+    test_name = 'TestBergerSolarInsolation'
+
+    def get_component_instance(self):
+        # compat flag reproduces the reference's latitude-degrees-as-radians
+        # bug (_berger_solar_insolation.pyx:311) so the series math can be
+        # validated against the caches; default construction is physical
+        return ct.BergerSolarInsolation(degrees_as_radians_compat=True)
+
+
+class TestSimplePhysics(GoldenBase):
+    test_name = 'TestSimplePhysics'
+
+    def get_component_instance(self):
+        return ct.SimplePhysics()
+
+
+class TestSimplePhysicsImplicitPrognostic(GoldenBase):
+    test_name = 'TestSimplePhysicsImplicitPrognostic'
+
+    def get_component_instance(self):
+        return ct.TimeDifferencingWrapper(ct.SimplePhysics())
+
+    def test_column_stepping(self):
+        pytest.skip('wrapper handled in plain column/3d tests')
+
+    def test_3d_stepping(self):
+        pytest.skip('wrapper handled in plain column/3d tests')
+
+
+class TestIceSheet(GoldenBase):
+    test_name = 'TestIceSheet'
+
+    def get_component_instance(self):
+        return ct.IceSheet()
+
+
+class TestIceSheetLand(GoldenBase):
+    test_name = 'TestIceSheetLand'
+    check_column = False
+
+    def get_component_instance(self):
+        return ct.IceSheet()
+
+    def get_3d_state(self, component):
+        state = super().get_3d_state(component)
+        state['area_type'].values[:] = 'land'
+        state['surface_snow_thickness'].values[:] = 3
+        return state
