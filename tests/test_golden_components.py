@@ -234,3 +234,28 @@ class TestIceSheetLand(GoldenBase):
         state['area_type'].values[:] = 'land'
         state['surface_snow_thickness'].values[:] = 3
         return state
+
+
+class TestDcmip(GoldenBase):
+    test_name = 'TestDcmip'
+
+    def get_component_instance(self):
+        return ct.DcmipInitialConditions()
+
+
+def test_dcmip_options():
+    state = ct.get_default_state(
+        [ct.DcmipInitialConditions()],
+        grid_state=ct.get_grid(nx=64, ny=64, nz=10))
+    dry = ct.DcmipInitialConditions(moist=False)(state)
+    moist = ct.DcmipInitialConditions(moist=True)(state)
+    unperturbed = ct.DcmipInitialConditions(
+        moist=False, add_perturbation=False)(state)
+    cyclone = ct.DcmipInitialConditions(
+        moist=True, condition_type='tropical_cyclone')(state)
+    assert not np.allclose(dry['specific_humidity'].values,
+                           moist['specific_humidity'].values)
+    assert not np.allclose(dry['eastward_wind'].values,
+                           unperturbed['eastward_wind'].values)
+    assert not np.allclose(
+        np.asarray(cyclone['surface_air_pressure'].values) - 1.015e5, 0.)
