@@ -1,0 +1,441 @@
+"""GFS-style spectral dynamical core: hybrid-coordinate primitive equations.
+
+The reference capability this reimplements is the out-of-tree
+``gfs_dynamical_core`` package (construction and stepping contract at
+/root/reference/examples/gmd_aquaplanet.py:77-95; numerics summarized in
+SURVEY.md §2.4): spherical-harmonic transform dynamics in
+vorticity-divergence form on the Gaussian grid, hybrid sigma-pressure
+vertical coordinate, semi-implicit leapfrog time stepping with
+Robert-Asselin filtering, del^4 horizontal hyperdiffusion, and top-of-model
+Rayleigh damping over ``number_of_damped_levels``.
+
+Formulation (standard spectral-model references: Bourke 1974 for the
+vorticity-divergence form; Simmons & Burridge 1981 for the
+energy/angular-momentum-conserving hybrid vertical discretization; Hoskins &
+Simmons 1975 for the semi-implicit treatment):
+
+- prognostics: spectral vorticity zeta, divergence D, temperature T,
+  specific humidity q_h, and ln(ps);
+- the gravity-wave terms (hydrostatic geopotential, R T_ref grad ln ps, and
+  the divergence terms of the continuity/thermodynamic equations) are
+  linearized about an isothermal reference state and advanced implicitly:
+  one precomputed (nz x nz) solve per total wavenumber n — batched small
+  matmuls, ideal MXU work;
+- everything in this module is pure jnp on arrays shaped (nz, nlat, nlon)
+  (level index 0 = model top) or spectral (nz, M+1, N+1); the whole step is
+  jit-compatible and is scanned over in the benchmark/production path.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.sht import SphericalHarmonicTransform
+
+
+class SpectralDycore:
+    """Semi-implicit spectral primitive-equation solver."""
+
+    def __init__(self, nlon, nlat, nz, ak, bk,
+                 truncation=None,
+                 timestep=600.0,
+                 reference_temperature=300.0,
+                 reference_surface_pressure=1e5,
+                 hyperdiffusion_timescale=None,
+                 number_of_damped_levels=0,
+                 damping_timescale=2.0 * 86400.0,
+                 asselin_strength=0.05,
+                 rd=287.0, cpd=1004.64, g=9.80665,
+                 radius=6.371e6, omega=7.292e-5,
+                 dtype=jnp.float64):
+        """``ak``, ``bk`` are the interface hybrid coefficients in
+        *bottom-up* order with p_interface = ak + bk (ps - p_top) as produced
+        by climt_tpu.get_grid; they are converted to the internal top-down
+        A + B ps form here."""
+        self.nlon, self.nlat, self.nz = nlon, nlat, nz
+        self.sht = SphericalHarmonicTransform(
+            nlon, nlat, truncation, radius=radius, dtype=dtype)
+        T = self.sht.truncation
+        self.dtype = dtype
+        self.rd, self.cpd, self.g = rd, cpd, g
+        self.kappa = rd / cpd
+        self.radius, self.omega = radius, omega
+        self.dt = timestep
+        self.asselin = asselin_strength
+
+        ak = np.asarray(ak, dtype=np.float64)
+        bk = np.asarray(bk, dtype=np.float64)
+        # bottom-up a + b(ps - pt) -> top-down A + B ps
+        p_top = ak[-1]  # at the top interface, b=0 so p_int = a = p_top
+        A_bu = ak - bk * p_top
+        self.A = jnp.asarray(A_bu[::-1].copy(), dtype=dtype)  # (nz+1,) top..sfc
+        self.B = jnp.asarray(bk[::-1].copy(), dtype=dtype)
+        self.dA = jnp.diff(self.A)
+        self.dB = jnp.diff(self.B)
+
+        # Coriolis on the grid
+        mu = np.asarray(self.sht.mu)
+        self.f_grid = jnp.asarray(
+            (2.0 * omega * mu)[:, None] * np.ones((1, nlon)), dtype=dtype)
+        self.coslat = jnp.asarray(np.sqrt(1.0 - mu ** 2), dtype=dtype)
+
+        # -- reference-state vertical structure for the semi-implicit solve --
+        ps_ref = reference_surface_pressure
+        t_ref = reference_temperature
+        self.t_ref, self.ps_ref = t_ref, ps_ref
+        A_np = np.asarray(self.A)
+        B_np = np.asarray(self.B)
+        p_half = A_np + B_np * ps_ref                  # (nz+1,) top..sfc
+        dp = np.diff(p_half)                            # (nz,)
+        ln_ratio = np.log(p_half[1:] / p_half[:-1])
+        alpha = 1.0 - (p_half[:-1] / dp) * ln_ratio
+        self.dp_ref = jnp.asarray(dp, dtype=dtype)
+        self.ln_ratio_ref = jnp.asarray(ln_ratio, dtype=dtype)
+        self.alpha_ref = jnp.asarray(alpha, dtype=dtype)
+
+        # hydrostatic matrix: Phi_k = Phi_s + sum_j G_kj T_v,j
+        G = np.zeros((nz, nz))
+        for k in range(nz):
+            G[k, k] = rd * alpha[k]
+            for j in range(k + 1, nz):
+                G[k, j] = rd * ln_ratio[j]
+        # lnps coupling of the divergence equation.  For an isothermal
+        # reference the total response (pressure-gradient term + the
+        # hybrid-coordinate geopotential's ps-dependence at fixed eta)
+        # telescopes to exactly R T_ref at every level — using only the
+        # pressure-gradient part leaves an O(c^2) gravity-wave residual
+        # integrated explicitly, which is unstable at dt=600 s/T42
+        # (verified numerically against the discrete operators).
+        r_vec = np.full(nz, rd * t_ref)                 # (nz,)
+        # thermodynamic coupling tau: dT_k/dt (implicit) = -tau_kj D_j
+        tau = np.zeros((nz, nz))
+        for k in range(nz):
+            for j in range(k):
+                tau[k, j] = self.kappa * t_ref * ln_ratio[k] * dp[j] / dp[k]
+            tau[k, k] = self.kappa * t_ref * alpha[k]
+        # continuity coupling: dq/dt (implicit) = -sigma . D
+        sigma = dp / ps_ref
+
+        M = G @ tau + np.outer(r_vec, sigma)            # (nz, nz)
+        self.G = jnp.asarray(G, dtype=dtype)
+        self.tau = jnp.asarray(tau, dtype=dtype)
+        self.sigma = jnp.asarray(sigma, dtype=dtype)
+        self.r_vec = jnp.asarray(r_vec, dtype=dtype)
+        self.M = jnp.asarray(M, dtype=dtype)
+
+        # per-total-wavenumber implicit inverses (I + dt^2 L_n M)^-1
+        n = np.arange(T + 1)
+        L = n * (n + 1.0) / radius ** 2
+        eye = np.eye(nz)
+        Minv = np.stack([
+            np.linalg.inv(eye + (timestep ** 2) * L[i] * M)
+            for i in range(T + 1)])
+        self.Minv = jnp.asarray(Minv, dtype=dtype)      # (N+1, nz, nz)
+
+        # del^4 hyperdiffusion, implicit factor per step
+        if hyperdiffusion_timescale is None:
+            # damp the smallest resolved scale with ~0.1 day timescale
+            hyperdiffusion_timescale = 0.1 * 86400.0
+        nmax = max(T, 1)
+        k4 = 1.0 / (hyperdiffusion_timescale *
+                    (nmax * (nmax + 1.0) / radius ** 2) ** 2)
+        n2d = np.broadcast_to((n * (n + 1.0) / radius ** 2)[None, :],
+                              (T + 1, T + 1))
+        self.hyperdiff_factor = jnp.asarray(
+            1.0 / (1.0 + 2.0 * timestep * k4 * n2d ** 2), dtype=dtype)
+
+        # surface geopotential (grid); set via set_surface_geopotential
+        self.phi_s = jnp.zeros((nlat, nlon), dtype=dtype)
+
+        # top-of-model Rayleigh damping profile (per level, 1/s)
+        damp = np.zeros(nz)
+        for lev in range(number_of_damped_levels):
+            damp[lev] = (1.0 / damping_timescale) * (
+                (number_of_damped_levels - lev) / number_of_damped_levels)
+        self.rayleigh = jnp.asarray(damp, dtype=dtype)
+
+    def dBnp(self):
+        return np.diff(np.asarray(self.B))
+
+    def set_surface_geopotential(self, phi_s_grid):
+        """Set the (nlat, nlon) surface geopotential field."""
+        self.phi_s = jnp.asarray(phi_s_grid, dtype=self.dtype)
+
+    # ------------------------------------------------------------------
+    # state conversion
+    # ------------------------------------------------------------------
+    def spectral_state_from_grid(self, u, v, T, q, lnps):
+        """Grid (nz, nlat, nlon) top-down fields -> spectral state dict."""
+        U = u * self.coslat[:, None]
+        V = v * self.coslat[:, None]
+        vort, div = self.sht.vort_div_analysis(U, V)
+        return {
+            'vort': vort,
+            'div': div,
+            'T': self.sht.analyze(T),
+            'q': self.sht.analyze(q),
+            'lnps': self.sht.analyze(lnps),
+        }
+
+    def grid_state_from_spectral(self, spec):
+        u, v = self.sht.uv_from_vort_div(spec['vort'], spec['div'])
+        return {
+            'u': u,
+            'v': v,
+            'T': self.sht.synthesize(spec['T']),
+            'q': self.sht.synthesize(spec['q']),
+            'lnps': self.sht.synthesize(spec['lnps']),
+        }
+
+    # ------------------------------------------------------------------
+    # dynamics tendencies (explicit, grid space)
+    # ------------------------------------------------------------------
+    def _vertical_structures(self, ps):
+        """Pressure structure from surface pressure (nlat, nlon)."""
+        p_half = self.A[:, None, None] + self.B[:, None, None] * ps[None]
+        dp = p_half[1:] - p_half[:-1]
+        ln_ratio = jnp.log(p_half[1:] / p_half[:-1])
+        alpha = 1.0 - (p_half[:-1] / dp) * ln_ratio
+        return p_half, dp, ln_ratio, alpha
+
+    def explicit_tendencies(self, spec, phys=None, physics_fn=None):
+        """Full nonlinear tendencies at the center time level.
+
+        Returns spectral tendencies for (vort, div, T, q, lnps).  ``phys``
+        optionally carries precomputed grid-space physics tendencies
+        {du, dv, dT, dq} (top-down); ``physics_fn`` alternatively computes
+        them *inside* the traced step from the synthesized grid fields —
+        the fused path used in production (one jit for dynamics+physics).
+        """
+        sht = self.sht
+        u, v = sht.uv_from_vort_div(spec['vort'], spec['div'])
+        vort_g = sht.synthesize(spec['vort'])
+        div_g = sht.synthesize(spec['div'])
+        T_g = sht.synthesize(spec['T'])
+        q_g = sht.synthesize(spec['q'])
+        lnps_g = sht.synthesize(spec['lnps'])
+        ps = jnp.exp(lnps_g)
+
+        dlnps_dx, dlnps_dy = sht.gradient(spec['lnps'])
+
+        p_half, dp, ln_ratio, alpha = self._vertical_structures(ps)
+
+        Tv = T_g * (1.0 + 0.608 * q_g)
+
+        if physics_fn is not None:
+            assert phys is None
+            phys = physics_fn({
+                'u': u, 'v': v, 'T': T_g, 'q': q_g, 'ps': ps,
+                'p_half': p_half, 'dp': dp})
+
+        # mass divergence per layer S_k = div(V dp) (grid)
+        v_dot_gradlnps = u * dlnps_dx[None] + v * dlnps_dy[None]
+        S = dp * div_g + ps[None] * self.dB[:, None, None] * v_dot_gradlnps
+        S_cum = jnp.cumsum(S, axis=0)
+        S_below = S_cum - S  # sum over j < k
+        S_total = S_cum[-1]
+
+        # ln ps tendency
+        dlnps_dt = -S_total / ps
+
+        # vertical mass flux through half levels (interior, nz-1 values)
+        mdot = (self.B[1:-1, None, None] * S_total[None] - S_cum[:-1])
+
+        # vertical advection: (1/(2 dp_k)) [mdot_k+ (X_{k+1}-X_k)
+        #                                   + mdot_k- (X_k - X_{k-1})]
+        def vadv(X):
+            dX_below = X[1:] - X[:-1]          # (nz-1, ...)
+            flux = mdot * dX_below             # at interior half levels
+            out = jnp.zeros_like(X)
+            out = out.at[:-1].add(flux)
+            out = out.at[1:].add(flux)
+            return out / (2.0 * dp)
+
+        # pressure-gradient coefficient c_k: (RTv grad ln p)_k = R Tv c_k
+        # grad(lnps)
+        c_k = (ln_ratio * self.B[:-1, None, None] + alpha
+               * self.dB[:, None, None]) * ps[None] / dp
+
+        pgrad_x = self.rd * Tv * c_k * dlnps_dx[None]
+        pgrad_y = self.rd * Tv * c_k * dlnps_dy[None]
+
+        abs_vort = vort_g + self.f_grid[None]
+        Nu = abs_vort * v - vadv(u) - pgrad_x
+        Nv = -abs_vort * u - vadv(v) - pgrad_y
+        if phys is not None:
+            Nu = Nu + phys['du']
+            Nv = Nv + phys['dv']
+        # Rayleigh top damping on momentum
+        Nu = Nu - self.rayleigh[:, None, None] * u
+        Nv = Nv - self.rayleigh[:, None, None] * v
+
+        cosl = self.coslat[:, None]
+        dvort_dt, ddiv_dt = sht.vort_div_analysis(Nu * cosl, Nv * cosl)
+        # vort_div_analysis(U,V) returns curl = (imV + dU)/..., matching
+        # zeta = curl(u, v); here the tendency pair is
+        # dzeta/dt = curl(Nu, Nv), dD/dt = div(Nu, Nv) - lap(E + Phi)
+        kinetic = 0.5 * (u ** 2 + v ** 2)
+
+        # geopotential (hydrostatic integral, top-down)
+        rtv_ln = self.rd * Tv * ln_ratio
+        below = jnp.cumsum(rtv_ln[::-1], axis=0)[::-1]  # sum over j >= k
+        phi_full = self.phi_s + (below - rtv_ln) + self.rd * Tv * alpha
+
+        ddiv_dt = ddiv_dt - sht.laplacian(
+            sht.analyze(kinetic + phi_full))
+
+        # thermodynamic equation
+        dT_dx, dT_dy = sht.gradient(spec['T'])
+        omega_over_p = (c_k * v_dot_gradlnps
+                        - (ln_ratio * S_below + alpha * S) / dp)
+        dT_dt_grid = (-u * dT_dx - v * dT_dy - vadv(T_g)
+                      + self.kappa * Tv * omega_over_p)
+        if phys is not None:
+            dT_dt_grid = dT_dt_grid + phys['dT']
+
+        # moisture
+        dq_dx, dq_dy = sht.gradient(spec['q'])
+        dq_dt_grid = -u * dq_dx - v * dq_dy - vadv(q_g)
+        if phys is not None:
+            dq_dt_grid = dq_dt_grid + phys['dq']
+
+        dlnps_spec = sht.analyze(dlnps_dt)
+        if phys is not None and 'dlnps' in phys:
+            dlnps_spec = dlnps_spec + sht.analyze(phys['dlnps'])
+
+        tend = {
+            'vort': dvort_dt,
+            'div': ddiv_dt,
+            'T': sht.analyze(dT_dt_grid),
+            'q': sht.analyze(dq_dt_grid),
+            'lnps': dlnps_spec,
+        }
+        grids = {'u': u, 'v': v, 'T': T_g, 'q': q_g, 'ps': ps,
+                 'p_half': p_half, 'dp': dp}
+        return tend, grids
+
+    # ------------------------------------------------------------------
+    # semi-implicit leapfrog step
+    # ------------------------------------------------------------------
+    def _apply_matrix(self, mat, x):
+        """(nz, nz) x (nz, M, N) spectral level-coupling product.
+
+        Real/imag split: complex dot_general does not lower on TPU and real
+        matmuls run on the MXU."""
+        re = jnp.einsum('kj,jmn->kmn', mat, x.real)
+        im = jnp.einsum('kj,jmn->kmn', mat, x.imag)
+        return jax.lax.complex(re, im)
+
+    @staticmethod
+    def _apply_batched_inverse(Minv, x):
+        """(N+1, nz, nz) per-wavenumber solve applied to (nz, M, N)."""
+        re = jnp.einsum('nkj,jmn->kmn', Minv, x.real)
+        im = jnp.einsum('nkj,jmn->kmn', Minv, x.imag)
+        return jax.lax.complex(re, im)
+
+    @staticmethod
+    def _apply_vector(vec, x):
+        """(nz,) . (nz, M, N) -> (M, N)."""
+        re = jnp.einsum('j,jmn->mn', vec, x.real)
+        im = jnp.einsum('j,jmn->mn', vec, x.imag)
+        return jax.lax.complex(re, im)
+
+    def step(self, prev, now, phys=None, dt=None, physics_fn=None,
+             prev_grids=None):
+        """One semi-implicit leapfrog step.
+
+        Args:
+            prev, now: spectral state dicts at t-dt and t.
+            phys: optional grid physics tendencies (top-down (nz,nlat,nlon)
+                dicts {du,dv,dT,dq}); evaluated at whichever time level the
+                caller chose.
+            dt: timestep (must equal construction dt for the implicit
+                inverses to be exact).
+            physics_fn: pure function of the grid-state dict producing
+                physics tendencies.  Evaluated on ``prev_grids`` when given
+                (LAGGED physics — evaluating dissipative physics at the
+                leapfrog center state amplifies the computational mode), or
+                on the center grids otherwise.
+            prev_grids: grid-state dict of ``prev`` from the previous step.
+
+        Returns:
+            (filtered_now, new, now_grids): Robert-Asselin-filtered center
+            state, the new state at t+dt, and the center grid fields (to be
+            passed as ``prev_grids`` next step).
+        """
+        dt = self.dt if dt is None else dt
+        if physics_fn is not None and prev_grids is not None:
+            phys = physics_fn(prev_grids)
+            physics_fn = None
+        tend, now_grids = self.explicit_tendencies(now, phys, physics_fn)
+
+        two_dt = 2.0 * dt
+        # explicit update
+        T_expl = prev['T'] + two_dt * tend['T']
+        q_expl = prev['q'] + two_dt * tend['q']
+        lnps_expl = prev['lnps'] + two_dt * tend['lnps']
+        vort_new = prev['vort'] + two_dt * tend['vort']
+        D_expl = prev['div'] + two_dt * tend['div']
+
+        # semi-implicit correction (correction form: replace the linear
+        # gravity-wave terms evaluated at t by their (t-dt, t+dt) average)
+        L = jnp.asarray(
+            self.sht.n_2d * (self.sht.n_2d + 1), self.dtype
+        ) / self.radius ** 2  # (M, N)
+
+        G_T = self._apply_matrix(self.G, (T_expl + prev['T']) * 0.5
+                                 - now['T'])
+        r_q = self.r_vec[:, None, None] * (
+            (lnps_expl + prev['lnps']) * 0.5 - now['lnps'])
+        rhs = D_expl + two_dt * L[None] * (G_T + r_q)
+        # subtract dt^2 L M (D^- - 2 D_t)
+        MD = self._apply_matrix(self.M, prev['div'] - 2.0 * now['div'])
+        rhs = rhs - (dt ** 2) * L[None] * MD
+
+        # solve (I + dt^2 L_n M) D+ = rhs, batched over n
+        D_new = self._apply_batched_inverse(self.Minv, rhs)
+
+        delta_D = 0.5 * (D_new + prev['div']) - now['div']
+        T_new = T_expl - two_dt * self._apply_matrix(self.tau, delta_D)
+        q_new = q_expl
+        lnps_new = lnps_expl - two_dt * self._apply_vector(
+            self.sigma, delta_D)
+
+        new = {'vort': vort_new, 'div': D_new, 'T': T_new, 'q': q_new,
+               'lnps': lnps_new}
+        # hyperdiffusion (implicit, applied to the new state)
+        for key in ('vort', 'div', 'T', 'q'):
+            new[key] = new[key] * self.hyperdiff_factor[None]
+
+        # Robert-Asselin filter on the center state
+        filtered = {}
+        for key in new:
+            filtered[key] = now[key] + self.asselin * (
+                new[key] - 2.0 * now[key] + prev[key])
+        return filtered, new, now_grids
+
+    def grids_of(self, spec):
+        """Grid fields of a spectral state (for seeding lagged physics)."""
+        sht = self.sht
+        u, v = sht.uv_from_vort_div(spec['vort'], spec['div'])
+        ps = jnp.exp(sht.synthesize(spec['lnps']))
+        p_half, dp, _, _ = self._vertical_structures(ps)
+        return {'u': u, 'v': v, 'T': sht.synthesize(spec['T']),
+                'q': sht.synthesize(spec['q']), 'ps': ps,
+                'p_half': p_half, 'dp': dp}
+
+    def initial_step(self, now, phys=None, dt=None, physics_fn=None):
+        """Forward (Euler) start: returns (now, state at t+dt) using a
+        half-then-full step for stability."""
+        dt = self.dt if dt is None else dt
+        tend, _ = self.explicit_tendencies(now, phys, physics_fn)
+        half = {k: now[k] + 0.5 * dt * tend[k] for k in now}
+        tend2, _ = self.explicit_tendencies(half, phys, physics_fn)
+        new = {k: now[k] + dt * tend2[k] for k in now}
+        for key in ('vort', 'div', 'T', 'q'):
+            new[key] = new[key] * self.hyperdiff_factor[None]
+        return now, new
