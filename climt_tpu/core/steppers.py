@@ -62,6 +62,12 @@ class TendencyStepper:
             for name, value in tendencies.items():
                 if name in total:
                     value = value.to_units(units[name])
+                    if value.dims != total[name].dims:
+                        # components may emit different dim orders (e.g.
+                        # ['mid_levels','*'] vs ['*','mid_levels']); align
+                        # by name before summing or broadcasting corrupts
+                        # the array
+                        value = value.transpose(*total[name].dims)
                     total[name] = DataArray(
                         total[name].values + value.values,
                         total[name].dims, total[name].attrs, name)

@@ -259,3 +259,10 @@ def test_dcmip_options():
                            unperturbed['eastward_wind'].values)
     assert not np.allclose(
         np.asarray(cyclone['surface_air_pressure'].values) - 1.015e5, 0.)
+
+
+class TestEmanuel(GoldenBase):
+    test_name = 'TestEmanuel'
+
+    def get_component_instance(self):
+        return ct.EmanuelConvection()
