@@ -1,0 +1,177 @@
+"""Tests for the RRTMG-interface radiation components.
+
+The radiative core this round is the documented band model (exact RRTMG
+correlated-k parity is future work), so these tests check physical
+invariants, API/option behavior, and the reference's logging advisories —
+not the cached RRTMG outputs.
+"""
+
+import logging
+
+import numpy as np
+import pytest
+
+import climt_tpu as ct
+
+
+def tropical_state(components, nz=30):
+    state = ct.get_default_state(
+        components, grid_state=ct.get_grid(nx=None, ny=None, nz=nz))
+    p = np.asarray(state['air_pressure'].values).ravel()
+    Ts = 300.
+    state['air_temperature'].values[:] = np.maximum(
+        Ts * (p / p[0]) ** (2. / 7. * 0.8), 200.).reshape(
+        state['air_temperature'].shape)
+    state['specific_humidity'].values[:] = (
+        0.017 * (p / p[0]) ** 3).reshape(state['specific_humidity'].shape)
+    state['surface_temperature'].values[:] = Ts
+    return state
+
+
+class TestRRTMGLongwave:
+
+    def test_fluxes_physical(self):
+        lw = ct.RRTMGLongwave()
+        state = tropical_state([lw])
+        tendencies, diagnostics = lw(state)
+        up = np.asarray(
+            diagnostics['upwelling_longwave_flux_in_air'].values).ravel()
+        down = np.asarray(
+            diagnostics['downwelling_longwave_flux_in_air'].values).ravel()
+        hr = np.asarray(tendencies['air_temperature'].values).ravel()
+        sigma_ts4 = 5.670367e-8 * 300. ** 4
+        assert 200. < up[-1] < sigma_ts4          # OLR below surface emission
+        assert up[0] == pytest.approx(sigma_ts4, rel=1e-3)
+        assert 250. < down[0] < sigma_ts4          # greenhouse back-radiation
+        assert down[-1] == 0.0                     # no downwelling at TOA
+        assert -10. < hr.min() < 0.               # tropospheric cooling
+        assert not np.isnan(up).any()
+
+    def test_co2_greenhouse(self):
+        lw = ct.RRTMGLongwave()
+        state = tropical_state([lw])
+        _, d1 = lw(state)
+        state['mole_fraction_of_carbon_dioxide_in_air'].values[:] *= 2
+        _, d2 = lw(state)
+        olr1 = np.asarray(
+            d1['upwelling_longwave_flux_in_air'].values).ravel()[-1]
+        olr2 = np.asarray(
+            d2['upwelling_longwave_flux_in_air'].values).ravel()[-1]
+        assert 0.5 < olr1 - olr2 < 15.             # doubling reduces OLR
+
+    def test_cloud_greenhouse(self):
+        lw = ct.RRTMGLongwave()
+        state = tropical_state([lw])
+        _, clear = lw(state)
+        state['cloud_area_fraction_in_atmosphere_layer'].values[18:22] = 1.
+        state['mass_content_of_cloud_ice_in_atmosphere_layer'
+              ].values[18:22] = 20.
+        _, cloudy = lw(state)
+        olr_clear = np.asarray(
+            clear['upwelling_longwave_flux_in_air'].values).ravel()[-1]
+        olr_cloudy = np.asarray(
+            cloudy['upwelling_longwave_flux_in_air'].values).ravel()[-1]
+        assert olr_cloudy < olr_clear - 20.        # high cloud traps LW
+        # clear-sky diagnostic unaffected by the cloud
+        olr_cs = np.asarray(cloudy[
+            'upwelling_longwave_flux_in_air_assuming_clear_sky'
+        ].values).ravel()[-1]
+        assert olr_cs == pytest.approx(olr_clear, rel=1e-6)
+
+    def test_rrtmg_logging(self, caplog):
+        caplog.set_level(logging.INFO)
+        ct.RRTMGLongwave(mcica=True, cloud_overlap_method='clear_only')
+        assert 'no clouds' in caplog.text
+        caplog.clear()
+        ct.RRTMGLongwave(mcica=True,
+                         cloud_optical_properties='single_cloud_type')
+        assert ("must be 'direct_input' or "
+                "'liquid_and_ice_clouds'") in caplog.text
+
+
+class TestRRTMGShortwave:
+
+    def test_fluxes_physical(self):
+        sw = ct.RRTMGShortwave()
+        state = tropical_state([sw])
+        state['zenith_angle'].values[:] = np.arccos(0.5)
+        tendencies, diagnostics = sw(state)
+        up = np.asarray(
+            diagnostics['upwelling_shortwave_flux_in_air'].values).ravel()
+        down = np.asarray(
+            diagnostics['downwelling_shortwave_flux_in_air'].values
+        ).ravel()
+        hr = np.asarray(tendencies['air_temperature'].values).ravel()
+        assert down[-1] == pytest.approx(1367. * 0.5, rel=1e-3)
+        atm_abs = (down[-1] - up[-1]) - (down[0] - up[0])
+        assert 100. < atm_abs < 300.               # typical clear-sky
+        assert 350. < down[0] < down[-1]           # surface insolation
+        assert 0. <= hr.min() and hr.max() < 20.   # SW heats, O3 at top
+        assert not np.isnan(up).any()
+
+    def test_night_is_dark(self):
+        sw = ct.RRTMGShortwave()
+        state = tropical_state([sw])
+        state['zenith_angle'].values[:] = np.pi * 0.75  # sun below horizon
+        tendencies, diagnostics = sw(state)
+        down = np.asarray(
+            diagnostics['downwelling_shortwave_flux_in_air'].values)
+        assert np.allclose(down, 0.0, atol=1e-8)
+
+    def test_cloud_albedo(self):
+        sw = ct.RRTMGShortwave()
+        state = tropical_state([sw])
+        state['zenith_angle'].values[:] = np.arccos(0.7)
+        _, clear = sw(state)
+        state['cloud_area_fraction_in_atmosphere_layer'].values[8:12] = 1.
+        state['mass_content_of_cloud_liquid_water_in_atmosphere_layer'
+              ].values[8:12] = 50.
+        _, cloudy = sw(state)
+        up_clear = np.asarray(
+            clear['upwelling_shortwave_flux_in_air'].values).ravel()[-1]
+        up_cloudy = np.asarray(
+            cloudy['upwelling_shortwave_flux_in_air'].values).ravel()[-1]
+        assert up_cloudy > up_clear + 50.          # cloud reflects SW
+
+    def test_rrtmg_logging(self, caplog):
+        caplog.set_level(logging.INFO)
+        ct.RRTMGShortwave(mcica=True, cloud_overlap_method='clear_only')
+        assert 'no clouds' in caplog.text
+        caplog.clear()
+        ct.RRTMGShortwave(mcica=True,
+                          cloud_optical_properties='single_cloud_type')
+        assert ("must be 'direct_input' or "
+                "'liquid_and_ice_clouds'") in caplog.text
+        caplog.clear()
+        ct.RRTMGShortwave(mcica=True,
+                          cloud_optical_properties='liquid_and_ice_clouds',
+                          cloud_ice_properties='ebert_curry_one')
+        assert "not be set to 'ebert_curry_one'" in caplog.text
+        caplog.clear()
+        ct.RRTMGShortwave(
+            mcica=True,
+            cloud_optical_properties='liquid_and_ice_clouds',
+            cloud_liquid_water_properties='radius_independent_absorption')
+        assert "must be set to 'radius_dependent_absorption'" in caplog.text
+
+
+def test_energy_conservation_two_stream():
+    """Conservative scattering layer: no absorption anywhere."""
+    import jax.numpy as jnp
+    from climt_tpu.components.rrtmg.gas_optics import delta_two_stream
+    nz, ncol = 10, 3
+    tau = jnp.full((nz, ncol), 0.5)
+    omega = jnp.full((nz, ncol), 1.0 - 1e-9)
+    g_asym = jnp.full((nz, ncol), 0.6)
+    mu0 = jnp.full((ncol,), 0.6)
+    alb = jnp.full((ncol,), 0.3)
+    incident = jnp.full((ncol,), 1000.0)
+    down, up = delta_two_stream(tau, omega, g_asym, mu0, alb, alb,
+                                incident)
+    # absorbed in atmosphere = net in at TOA - net in at surface ~ 0
+    net_toa = np.asarray(down[-1] - up[-1])
+    net_sfc = np.asarray(down[0] - up[0])
+    assert (np.abs(net_toa - net_sfc) / net_toa < 5e-3).all()
+    # surface energy balance: up = albedo * down
+    np.testing.assert_allclose(np.asarray(up[0]),
+                               np.asarray(0.3 * down[0]), rtol=1e-6)
