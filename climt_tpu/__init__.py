@@ -47,6 +47,14 @@ from .core.wrappers import (
     ScalingWrapper, TimeDifferencingWrapper, UpdateFrequencyWrapper,
 )
 
+from .core.tracers import (
+    TracerPacker, get_tracer_names, get_tracer_unit_dict, register_tracer,
+    reset_packers, reset_tracers,
+)
+from .io.monitors import (
+    NetCDFMonitor, PlotFunctionMonitor, RestartMonitor,
+)
+
 from .components import (
     BergerSolarInsolation, BucketHydrology, DcmipInitialConditions,
     DryConvectiveAdjustment, EmanuelConvection,
