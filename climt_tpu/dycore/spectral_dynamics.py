@@ -51,14 +51,15 @@ class SpectralDycore:
                  asselin_strength=0.05,
                  rd=287.0, cpd=1004.64, g=9.80665,
                  radius=6.371e6, omega=7.292e-5,
-                 dtype=jnp.float64):
+                 dtype=jnp.float64, fft_impl='fft'):
         """``ak``, ``bk`` are the interface hybrid coefficients in
         *bottom-up* order with p_interface = ak + bk (ps - p_top) as produced
         by climt_tpu.get_grid; they are converted to the internal top-down
         A + B ps form here."""
         self.nlon, self.nlat, self.nz = nlon, nlat, nz
         self.sht = SphericalHarmonicTransform(
-            nlon, nlat, truncation, radius=radius, dtype=dtype)
+            nlon, nlat, truncation, radius=radius, dtype=dtype,
+            fft_impl=fft_impl)
         T = self.sht.truncation
         self.dtype = dtype
         self.rd, self.cpd, self.g = rd, cpd, g

@@ -82,7 +82,13 @@ class SphericalHarmonicTransform:
     """Batched-matmul spherical harmonic transform for one resolution."""
 
     def __init__(self, nlon, nlat, truncation=None, radius=6.371e6,
-                 dtype=jnp.float64):
+                 dtype=jnp.float64, fft_impl='fft'):
+        """``fft_impl``: 'fft' uses the backend FFT; 'matmul' evaluates the
+        (truncated) zonal DFT as real matmuls — required under sharding on
+        the CPU backend (whose FFT thunk rejects non-default layouts) and
+        often faster on the MXU for moderate nlon."""
+        self.fft_impl = fft_impl
+        self._needs_dft_matrices = fft_impl == 'matmul'
         if truncation is None:
             # alias-free triangular truncation for both directions:
             # nlat >= (3T+1)/2 and nlon >= 3T+1
@@ -135,14 +141,45 @@ class SphericalHarmonicTransform:
             np.broadcast_to(inv[None, :],
                             (truncation + 1, truncation + 1)), dtype=dtype)
 
+        if self._needs_dft_matrices:
+            self._build_dft_matrices()
+
     # -- zonal (Fourier) stage ------------------------------------------------
+    def _build_dft_matrices(self):
+        """Precompute (at construction, never inside a trace) the real
+        matmul factors of the truncated zonal DFT."""
+        n = self.nlon
+        m = np.arange(self.truncation + 1)
+        j = np.arange(n)
+        theta = 2.0 * np.pi * np.outer(j, m) / n         # (nlon, M+1)
+        self._dft_cos = jnp.asarray(np.cos(theta) / n, dtype=self.dtype)
+        self._dft_sin = jnp.asarray(-np.sin(theta) / n, dtype=self.dtype)
+        w = np.full(self.truncation + 1, 2.0)
+        w[0] = 1.0
+        self._idft_cos = jnp.asarray(
+            (np.cos(theta) * w[None, :]).T, dtype=self.dtype)
+        self._idft_sin = jnp.asarray(
+            (np.sin(theta) * w[None, :]).T, dtype=self.dtype)
+
+    def _dft_matrices(self):
+        return self._dft_cos, self._dft_sin, self._idft_cos, self._idft_sin
+
     def _fft(self, grid):
         """(..., nlat, nlon) -> (..., nlat, M+1) complex Fourier coeffs."""
+        if self.fft_impl == 'matmul':
+            c, s, _, _ = self._dft_matrices()
+            re = jnp.einsum('...j,jm->...m', grid, c)
+            im = jnp.einsum('...j,jm->...m', grid, s)
+            return jax.lax.complex(re, im)
         fm = jnp.fft.rfft(grid, axis=-1) / self.nlon
         return fm[..., :self.truncation + 1]
 
     def _ifft(self, fm):
         """(..., nlat, M+1) -> (..., nlat, nlon) real grid."""
+        if self.fft_impl == 'matmul':
+            _, _, ic, is_ = self._dft_matrices()
+            return (jnp.einsum('...m,mj->...j', fm.real, ic)
+                    - jnp.einsum('...m,mj->...j', fm.imag, is_))
         nfreq = self.nlon // 2 + 1
         pad = [(0, 0)] * (fm.ndim - 1) + [(0, nfreq - fm.shape[-1])]
         fm_full = jnp.pad(fm, pad)
