@@ -25,7 +25,9 @@ def measure(build, n_warmup, n_steps, gridpoints):
     import jax
     carry = build[1]()
     run_fn = build[3]
-    out = run_fn(carry, n_warmup)
+    # warm up with the SAME static n_steps so the timed call reuses the
+    # compiled scan (a different length would recompile inside the timing)
+    out = run_fn(carry, n_steps)
     carry = out[0] if isinstance(out, tuple) and len(out) == 2 else out
     jax.block_until_ready(jax.tree_util.tree_leaves(carry)[0])
     t0 = time.perf_counter()

@@ -599,22 +599,30 @@ def emanuel_convect(T, q, qs, u, v, p, ph, cbmf_in, dt, nl, params):
         [m_cum_rev[:, 1:], jnp.zeros((ncol, 1))], axis=1)
     # note: m is zero above inb so sum_{k=i+1..inb+1} = sum_{k>i}
     amp1_m = jnp.where(k >= nk_s[:, None], m_above, 0.0)
-    # ment partial sums: amp1_ment[i] = sum_{kk<=i} sum_{j in (i, inb+1]} ment[kk, j]
-    cum_ment_k = jnp.cumsum(ment, axis=1)            # over first index kk
+    # ment partial sums via one matmul:
+    # amp1_ment[c,i] = sum_{k<=i} sum_{j>i, j<=inb+1} ment[c,k,j]
     jj = jnp.arange(nz)[None, None, :]
     ii = jnp.arange(nz)[None, :, None]
-    mask_j_above = (jj > ii) & (jj <= inb_p1[:, None, None])
-    amp1_ment = jnp.sum(jnp.where(mask_j_above, cum_ment_k, 0.0), axis=2)
+    ment_cols = jnp.where(jj <= inb_p1[:, None, None], ment, 0.0)
+    jj_ = np.arange(nz)
+    W_amp = ((jj_[:, None, None] <= jj_[None, None, :])
+             & (jj_[None, :, None] > jj_[None, None, :]))
+    W_amp = jnp.asarray(W_amp.reshape(nz * nz, nz), dtype=ment.dtype)
+    amp1_ment = ment_cols.reshape(ncol, nz * nz) @ W_amp
     amp1 = amp1_m + amp1_ment
 
-    # ad(i) = sum_{kk<=i-1} sum_{jrow=i..inb} ment[jrow, kk]
+    # ad(i) = sum_{kk<=i-1} sum_{jrow=i..inb} ment[jrow, kk], via cumsums:
+    # prefix over kk (strictly below i), mask jrow<=inb, suffix over jrow,
+    # then read the diagonal (jrow = i)
     jrow = jnp.arange(nz)[None, :, None]
-    kkcol = jnp.arange(nz)[None, None, :]
-    ad = jnp.stack([
-        jnp.sum(jnp.where((jrow[0] >= i_) & (jrow[0] <= inb[:, None, None])
-                          & (kkcol[0] <= i_ - 1),
-                          ment, 0.0), axis=(1, 2))
-        for i_ in range(nz)], axis=1)
+    # one masked read of ment + a single (nz^2 x nz) matmul (MXU-friendly):
+    # ad[c,i] = sum_{j,k} ment_rows[c,j,k] * (j >= i) * (k < i)
+    ment_rows = jnp.where(jrow <= inb[:, None, None], ment, 0.0)
+    jj_ = np.arange(nz)
+    W_ad = ((jj_[:, None, None] >= jj_[None, None, :])
+            & (jj_[None, :, None] < jj_[None, None, :]))
+    W_ad = jnp.asarray(W_ad.reshape(nz * nz, nz), dtype=ment.dtype)
+    ad = ment_rows.reshape(ncol, nz * nz) @ W_ad
 
     cfl = (2.0 * g * dpinv * amp1) >= delti
     T_up = jnp.concatenate([T[:, 1:], T[:, -1:]], axis=1)
@@ -653,24 +661,20 @@ def emanuel_convect(T, q, qs, u, v, p, ph, cbmf_in, dt, nl, params):
     fu = g * dpinv * (amp1 * (u_up - u) - ad * (u - u_dn))
     fv = g * dpinv * (amp1 * (v_up - v) - ad * (v - v_dn))
 
-    # entrainment/detrainment exchanges: sum over rows kk of ment[kk, i]
+    # entrainment/detrainment exchanges, sum over rows kk of ment[kk, i].
+    # ment rows above inb are zero, so the (kk < i) | (i <= kk <= inb)
+    # union reduces to a plain sum over kk; the detrained-water correction
+    # applies only to rows kk < i (one static lower-triangular matvec).
     awat_col = jnp.maximum(
         elij - (1.0 - ep[:, None, :]) * clw[:, None, :], 0.0)
-    kk_row = jnp.arange(nz)[None, :, None]
-    i_col = jnp.arange(nz)[None, None, :]
-    below_mask = kk_row < i_col                      # kk in [0, i-1]
-    above_mask = (kk_row >= i_col) & (kk_row <= inb[:, None, None])
-    fq = fq + g * dpinv * jnp.sum(
-        jnp.where(below_mask, ment * (qent - awat_col - q[:, None, :]),
-                  0.0), axis=1)
-    fq = fq + g * dpinv * jnp.sum(
-        jnp.where(above_mask, ment * (qent - q[:, None, :]), 0.0), axis=1)
-    fu = fu + g * dpinv * jnp.sum(
-        jnp.where(below_mask | above_mask,
-                  ment * (uent - u[:, None, :]), 0.0), axis=1)
-    fv = fv + g * dpinv * jnp.sum(
-        jnp.where(below_mask | above_mask,
-                  ment * (vent - v[:, None, :]), 0.0), axis=1)
+    jlt = jnp.asarray(
+        (np.arange(nz)[:, None] < np.arange(nz)[None, :]),
+        dtype=ment.dtype)
+    fq = fq + g * dpinv * (
+        jnp.sum(ment * (qent - q[:, None, :]), axis=1)
+        - jnp.einsum('cki,ki->ci', ment * awat_col, jlt))
+    fu = fu + g * dpinv * jnp.sum(ment * (uent - u[:, None, :]), axis=1)
+    fv = fv + g * dpinv * jnp.sum(ment * (vent - v[:, None, :]), axis=1)
 
     fq = fq + sigd * evap_arr + g * dpinv * (
         mp_up_arr * (qp_up_arr - q)
