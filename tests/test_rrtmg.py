@@ -1,9 +1,13 @@
 """Tests for the RRTMG-interface radiation components.
 
-The radiative core this round is the documented band model (exact RRTMG
-correlated-k parity is future work), so these tests check physical
-invariants, API/option behavior, and the reference's logging advisories —
-not the cached RRTMG outputs.
+Shortwave runs the true 112-g-point correlated-k core and is golden-matched
+against the reference caches in test_golden_components.py
+(TestRRTMGShortwave).  Longwave remains the documented band model — the
+reference mirror ships no LW k-tables (rrtmg_lw_k_g.f90 is absent from
+/root/reference/climt/_lib/rrtmg_lw/) and this environment has no network
+or Fortran compiler to regenerate them, so exact LW parity is unattainable
+here; LW is covered by physical invariants, API/option behavior, and the
+reference's logging advisories.
 """
 
 import logging
@@ -92,7 +96,10 @@ class TestRRTMGLongwave:
 class TestRRTMGShortwave:
 
     def test_fluxes_physical(self):
-        sw = ct.RRTMGShortwave()
+        # ignore_day_of_year so no earth-sun distance adjustment is applied
+        # (with it, TOA down = 1367 * earth_sun(Jan 1) * mu0, matching the
+        # reference component's behavior, rrtmg/sw/component.py:465-468)
+        sw = ct.RRTMGShortwave(ignore_day_of_year=True)
         state = tropical_state([sw])
         state['zenith_angle'].values[:] = np.arccos(0.5)
         tendencies, diagnostics = sw(state)
@@ -116,7 +123,11 @@ class TestRRTMGShortwave:
         tendencies, diagnostics = sw(state)
         down = np.asarray(
             diagnostics['downwelling_shortwave_flux_in_air'].values)
-        assert np.allclose(down, 0.0, atol=1e-8)
+        # The reference Fortran clamps cos(zenith) to 1e-10 rather than
+        # gating night columns (rrtmg_sw_rad.nomcica.f90:533,641-642), so a
+        # ~1e-7 W/m^2 residual is cache-exact behavior; require "dark", not
+        # bitwise zero.
+        assert np.allclose(down, 0.0, atol=1e-5)
 
     def test_cloud_albedo(self):
         sw = ct.RRTMGShortwave()
