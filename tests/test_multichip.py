@@ -1,0 +1,88 @@
+"""Multi-device correctness: sharded execution must give the same answer
+as single-device execution.
+
+The reference has no distributed tests (SURVEY.md §4.7: "no distributed
+tests, no multi-node harness"); this suite is the TPU-native addition the
+survey prescribes — sharded-vs-unsharded equivalence on a forced 8-device
+CPU mesh (tests/conftest.py sets --xla_force_host_platform_device_count=8).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from climt_tpu.parallel.mesh import make_mesh, shard_model_state
+
+
+def _tree_allclose(a, b, rtol, atol, path=''):
+    assert type(a) is type(b), (path, type(a), type(b))
+    if isinstance(a, dict):
+        assert set(a) == set(b), path
+        for k in a:
+            _tree_allclose(a[k], b[k], rtol, atol, path + '/' + str(k))
+    elif isinstance(a, (tuple, list)):
+        assert len(a) == len(b), path
+        for i, (x, y) in enumerate(zip(a, b)):
+            _tree_allclose(x, y, rtol, atol, path + '/' + str(i))
+    else:
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=rtol, atol=atol,
+            err_msg=path)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason='needs 8 devices')
+def test_moist_gcm_sharded_matches_single_device():
+    """N fused moist-GCM steps with the production sharding layout must
+    match the unsharded run (collectives change reduction order only at
+    roundoff; x64 keeps that far below tolerance)."""
+    from climt_tpu.dycore.moist_gcm import build_moist_gcm
+
+    # matmul-DFT zonal transform: layout-robust under partitioning
+    dycore, init_fn, step_fn, run_fn = build_moist_gcm(
+        nlon=32, nlat=16, nz=8, timestep=600.0, dtype=jnp.float64,
+        fft_impl='matmul')
+
+    n_steps = 3
+
+    def run(carry):
+        for _ in range(n_steps):
+            carry, _ = step_fn(carry, None)
+        return carry
+
+    carry0 = init_fn()
+    ref = jax.jit(run)(carry0)
+    ref = jax.tree_util.tree_map(np.asarray, ref)
+
+    mesh = make_mesh(8)
+    carry_sharded = shard_model_state(mesh, *init_fn())
+    with mesh:
+        out = jax.jit(run)(carry_sharded)
+        out = jax.tree_util.tree_map(np.asarray, out)
+
+    _tree_allclose(out, ref, rtol=1e-9, atol=1e-12)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason='needs 8 devices')
+def test_lon_sharded_matches_single_device():
+    """2-D (lat, lon) decomposition — longitude sharded too — must also
+    reproduce the single-device answer."""
+    from climt_tpu.dycore.moist_gcm import build_moist_gcm
+
+    dycore, init_fn, step_fn, run_fn = build_moist_gcm(
+        nlon=32, nlat=16, nz=8, timestep=600.0, dtype=jnp.float64,
+        fft_impl='matmul')
+
+    def run(carry):
+        carry, _ = step_fn(carry, None)
+        return carry
+
+    ref = jax.tree_util.tree_map(np.asarray, jax.jit(run)(init_fn()))
+
+    mesh = make_mesh(8, mesh_shape=(4, 2))
+    carry_sharded = shard_model_state(mesh, *init_fn(), shard_lon=True)
+    with mesh:
+        out = jax.tree_util.tree_map(
+            np.asarray, jax.jit(run)(carry_sharded))
+
+    _tree_allclose(out, ref, rtol=1e-9, atol=1e-12)
