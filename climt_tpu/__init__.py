@@ -62,6 +62,8 @@ from .components import (
     GridScaleCondensation, HeldSuarez, IceSheet, Instellation,
     RRTMGLongwave, RRTMGShortwave, SimplePhysics, SlabSurface,
 )
+from .dycore.gfs import GFSDynamicalCore
+from .dycore.spectral_dynamics import SpectralDycore
 
 __version__ = '0.1.0'
 

@@ -136,12 +136,15 @@ class Stepper(ComponentBase):
     def __call__(self, state, timestep):
         raw_state, wildcard = self._extract(state)
         raw_diagnostics, raw_new_state = self.array_call(raw_state, timestep)
+        # components that merge other components' input properties (the
+        # GFS dycore) expose ``restoration_properties`` so foreign aliases
+        # don't leak into output restoration
+        props = getattr(self, 'restoration_properties',
+                        self.input_properties)
         diagnostics = restore_arrays(
-            raw_diagnostics, self.diagnostic_properties, wildcard,
-            self.input_properties)
+            raw_diagnostics, self.diagnostic_properties, wildcard, props)
         new_state = restore_arrays(
-            raw_new_state, self.output_properties, wildcard,
-            self.input_properties)
+            raw_new_state, self.output_properties, wildcard, props)
         return diagnostics, new_state
 
     @abc.abstractmethod

