@@ -1,19 +1,30 @@
-"""RRTMGLongwave: multi-band longwave radiative transfer.
+"""RRTMGLongwave: 16-band / 140-g-point correlated-k longwave radiation.
 
 API parity with /root/reference/climt/_components/rrtmg/lw/component.py:24-470
 (inputs incl. all trace gases, per-band surface emissivity, cloud water/ice
 paths and particle sizes, direct-input cloud/aerosol optical thickness;
 outputs all-sky and clear-sky fluxes and heating rates; constructor options
-incl. the McICA flags with the reference's configuration advisories).
+incl. McICA and calculate_change_up_flux).
 
-Radiative core: the 9-band gas-optics model of ``gas_optics`` (exact band
-Planck fractions, pressure-scaled absorber paths, diffusivity-factor
-transfer) with Ebert & Curry (1992)-type cloud longwave absorption and
-max-overlap cloud/clear blending.  The full 140-g-point correlated-k gas
-optics is the planned internal upgrade (same API).
+Radiative core: the full RRTMG-LW pipeline (lw_spectral.py: inatm ->
+setcoef -> taumol -> cldprop -> rtrn) with the reference's in-tree data
+extracted byte-exact, but SURROGATE gas k-tables -- the reference's LW
+absorption data is stripped from the mirror and unobtainable here (see
+docs/RRTMG_LW_STATUS.md and tools/find_lw_ktables.py for the audit, and
+tools/calibrate_lw_ktables.py for the calibration against the reference
+regression caches).
+
+McICA (mcica=True) runs real stochastic subcolumns (mcica.py) seeded per
+call from numpy's global RNG, mirroring the reference's seeding protocol
+(component.py:369-381); calculate_change_up_flux=True computes dF/dT_s
+with the totplnkderiv tables and stores it on
+``component.last_upward_flux_derivative`` (the reference computes the
+same derivative Fortran-side but discards it, _rrtmg_lw.pyx:164-171).
 """
 
 from __future__ import annotations
+
+import functools
 
 import jax
 import jax.numpy as jnp
@@ -21,50 +32,49 @@ import numpy as np
 
 from ...core.base_components import TendencyComponent
 from ...core.constants import get_constant
-from ...core.util import get_interface_values
+from ...core.util import get_interface_values, mass_to_volume_mixing_ratio
 from .common import (
     rrtmg_cloud_ice_props_dict, rrtmg_cloud_liquid_props_dict,
     rrtmg_cloud_overlap_method_dict, rrtmg_cloud_props_dict,
     rrtmg_random_number_dict, validate_mcica_options)
-from .gas_optics import (
-    NUM_LW_BANDS, lw_band_optical_depth, longwave_fluxes)
+from .lw_spectral import NGB, cldprmc_lw, rrtmg_lw_fluxes
+from .mcica import mcica_subcolumns
 
 
-@jax.jit
-def _lw_radiation(p_mid, p_int, T, T_sfc, q, o3, co2, emissivity,
-                  cloud_tau_grey, cloud_fraction, g, cpd, sigma):
-    """All-sky + clear-sky LW fluxes and heating rates.
-
-    Shapes: (nz, ncol) mid-level fields, (nz+1, ncol) interfaces,
-    (ncol,) surface; cloud_tau_grey (nz, ncol) grey cloud optical depth;
-    emissivity (ncol,) band-mean.
-    """
-    dp = p_int[:-1] - p_int[1:]
-    T_int = get_interface_values(T, T_sfc, p_mid, p_int)
-
-    tau_gas = lw_band_optical_depth(dp, q, co2, o3, p_mid, T)
-    emis_bands = jnp.broadcast_to(emissivity[None],
-                                  (NUM_LW_BANDS, emissivity.shape[0]))
-
-    up_clear, down_clear = longwave_fluxes(
-        tau_gas, T, T_int, T_sfc, emis_bands, sigma)
-
-    tau_cloudy = tau_gas + cloud_tau_grey[None]
-    up_cloudy, down_cloudy = longwave_fluxes(
-        tau_cloudy, T, T_int, T_sfc, emis_bands, sigma)
-
-    # maximum-overlap total cloud cover blending
-    c_tot = jnp.max(cloud_fraction, axis=0)
-    up = c_tot * up_cloudy + (1.0 - c_tot) * up_clear
-    down = c_tot * down_cloudy + (1.0 - c_tot) * down_clear
-
-    def heating(up_f, down_f):
-        net = up_f - down_f
-        return (g / cpd) * (net[1:] - net[:-1]) / (p_int[1:] - p_int[:-1])
-
-    hr = heating(up, down) * 86400.0
-    hr_clear = heating(up_clear, down_clear) * 86400.0
-    return up, down, up_clear, down_clear, hr, hr_clear
+@functools.partial(
+    jax.jit, static_argnames=('inflag', 'iceflag', 'liqflag', 'icld',
+                              'idrv', 'mcica_on'))
+def _lw_radiation(play, plev, tlay, tlev, tsfc, h2ovmr, o3vmr, co2vmr,
+                  ch4vmr, n2ovmr, o2vmr, cfc11vmr, cfc12vmr, cfc22vmr,
+                  ccl4vmr, emis, cldfrac, taucld, ciwp, clwp, rei, rel,
+                  tauaer, grav, avogad, cpdair, inflag, iceflag, liqflag,
+                  icld, idrv, mcica_on, rng_key):
+    if icld == 0:
+        cldfrac = jnp.zeros_like(cldfrac)
+        taucld = jnp.zeros_like(taucld)
+        ciwp = jnp.zeros_like(ciwp)
+        clwp = jnp.zeros_like(clwp)
+    common = dict(
+        play=play, plev=plev, tlay=tlay, tlev=tlev, tsfc=tsfc,
+        h2ovmr=h2ovmr, o3vmr=o3vmr, co2vmr=co2vmr, ch4vmr=ch4vmr,
+        n2ovmr=n2ovmr, o2vmr=o2vmr, cfc11vmr=cfc11vmr, cfc12vmr=cfc12vmr,
+        cfc22vmr=cfc22vmr, ccl4vmr=ccl4vmr, emis=emis, tauaer=tauaer,
+        grav=grav, avogad=avogad, cpdair=cpdair, inflag=inflag,
+        iceflag=iceflag, liqflag=liqflag, idrv=idrv)
+    if mcica_on and icld != 0:
+        overlap = 1 if icld == 1 else (2 if icld == 2 else 3)
+        cldfmc, ciwpmc, clwpmc, taucmc_in = mcica_subcolumns(
+            rng_key, overlap, cldfrac, ciwp, clwp, taucld,
+            jnp.asarray(NGB))
+        taucmc = cldprmc_lw(inflag, iceflag, liqflag, cldfmc, ciwpmc,
+                            clwpmc, taucmc_in, rei, rel, play.dtype)
+        return rrtmg_lw_fluxes(
+            cldfrac=cldfrac, taucld=taucld, ciwp=ciwp, clwp=clwp,
+            rei=rei, rel=rel, per_g_cloud=True, cldfrac_g=cldfmc,
+            taucld_g=taucmc, **common)
+    return rrtmg_lw_fluxes(
+        cldfrac=cldfrac, taucld=taucld, ciwp=ciwp, clwp=clwp,
+        rei=rei, rel=rel, **common)
 
 
 class RRTMGLongwave(TendencyComponent):
@@ -151,82 +161,114 @@ class RRTMGLongwave(TendencyComponent):
         validate_mcica_options(mcica, cloud_overlap_method,
                                cloud_optical_properties)
         self._cloud_overlap = rrtmg_cloud_overlap_method_dict[
-            cloud_overlap_method]
+            cloud_overlap_method.lower()]
         self._cloud_optics = rrtmg_cloud_props_dict[
-            cloud_optical_properties]
-        self._ice_props = rrtmg_cloud_ice_props_dict[cloud_ice_properties]
+            cloud_optical_properties.lower()]
+        self._ice_props = rrtmg_cloud_ice_props_dict[
+            cloud_ice_properties.lower()]
         self._liquid_props = rrtmg_cloud_liquid_props_dict[
-            cloud_liquid_water_properties]
+            cloud_liquid_water_properties.lower()]
         self._mcica = mcica
-        self._rng = rrtmg_random_number_dict[random_number_generator]
+        self._rng = rrtmg_random_number_dict[
+            random_number_generator.lower()]
         self._calc_dflxdt = calculate_change_up_flux
         self._interface_t = calculate_interface_temperature
+        #: (nz+1, ncol) dF_up/dT_s from the latest call, all-sky and
+        #: clear-sky, when calculate_change_up_flux=True
+        self.last_upward_flux_derivative = None
+        self.last_upward_flux_derivative_clear_sky = None
         if not calculate_interface_temperature:
             self.input_properties = dict(self.input_properties)
             self.input_properties['air_temperature_on_interface_levels'] = {
                 'dims': ['interface_levels', '*'], 'units': 'degK'}
         super().__init__(**kwargs)
 
-    def _cloud_optical_depth(self, raw_state):
-        """Grey longwave cloud optical depth per layer."""
-        if self._cloud_overlap == 0:  # clear_only
-            return jnp.zeros_like(
-                jnp.asarray(raw_state['air_temperature']))
-        if self._cloud_optics == 0:  # direct_input, per-band -> band mean
-            tau = jnp.asarray(
-                raw_state['longwave_optical_thickness_due_to_cloud'])
-            return jnp.mean(tau, axis=-1)
-        lwp = jnp.asarray(raw_state[
-            'mass_content_of_cloud_liquid_water_in_atmosphere_layer'])
-        iwp = jnp.asarray(raw_state[
-            'mass_content_of_cloud_ice_in_atmosphere_layer'])
-        r_ice = jnp.asarray(raw_state['cloud_ice_particle_size'])
-        # Ebert & Curry (1992) broadband ice emissivity coefficients;
-        # liquid mass absorption ~0.09 m^2/g
-        tau_ice = iwp * (0.003448 + 2.431 / jnp.maximum(r_ice, 5.0))
-        tau_liq = 0.09 * lwp
-        return tau_ice + tau_liq
-
-    def array_call(self, raw_state):
+    def _gather_inputs(self, raw_state):
+        """Pipeline inputs (dict) from the matched raw state; shared by
+        array_call and tools/calibrate_lw_ktables.py."""
         g = get_constant('gravitational_acceleration', 'm/s^2')
         cpd = get_constant(
             'heat_capacity_of_dry_air_at_constant_pressure', 'J/kg/degK')
-        sigma = get_constant('stefan_boltzmann_constant', 'W/m^2/K^4')
+        avogad = get_constant('avogadro_constant', 'mole^-1')
 
-        p_mid = jnp.asarray(raw_state['air_pressure']) * 100.0
-        p_int = jnp.asarray(
-            raw_state['air_pressure_on_interface_levels']) * 100.0
-        T = jnp.asarray(raw_state['air_temperature'])
-        T_sfc = jnp.asarray(raw_state['surface_temperature'])
-        q = jnp.asarray(raw_state['specific_humidity'])
-        o3 = jnp.asarray(raw_state['mole_fraction_of_ozone_in_air'])
-        co2 = jnp.asarray(
-            raw_state['mole_fraction_of_carbon_dioxide_in_air'])
-        emissivity = jnp.mean(jnp.asarray(
-            raw_state['surface_longwave_emissivity']), axis=0)
-        cloud_fraction = jnp.asarray(
+        play = jnp.asarray(raw_state['air_pressure'])
+        plev = jnp.asarray(raw_state['air_pressure_on_interface_levels'])
+        tlay = jnp.asarray(raw_state['air_temperature'])
+        tsfc = jnp.asarray(raw_state['surface_temperature'])
+        # the reference passes specific humidity through
+        # mass_to_volume_mixing_ratio with M=18.02 (component.py:321)
+        h2ovmr = jnp.asarray(mass_to_volume_mixing_ratio(
+            raw_state['specific_humidity'], 18.02))
+
+        if self._interface_t:
+            tlev = get_interface_values(tlay, tsfc, play, plev)
+        else:
+            tlev = jnp.asarray(
+                raw_state['air_temperature_on_interface_levels'])
+
+        def gas(name):
+            return jnp.asarray(raw_state['mole_fraction_of_%s_in_air'
+                                         % name])
+
+        emis = jnp.asarray(raw_state['surface_longwave_emissivity'])
+        cldfrac = jnp.asarray(
             raw_state['cloud_area_fraction_in_atmosphere_layer'])
-        aerosol_tau = jnp.mean(jnp.asarray(
-            raw_state['longwave_optical_thickness_due_to_aerosol']),
-            axis=0)
+        taucld = jnp.asarray(
+            raw_state['longwave_optical_thickness_due_to_cloud'])
+        ciwp = jnp.asarray(raw_state[
+            'mass_content_of_cloud_ice_in_atmosphere_layer'])
+        clwp = jnp.asarray(raw_state[
+            'mass_content_of_cloud_liquid_water_in_atmosphere_layer'])
+        rei = jnp.asarray(raw_state['cloud_ice_particle_size'])
+        rel = jnp.asarray(raw_state['cloud_water_droplet_radius'])
+        tauaer = jnp.moveaxis(jnp.asarray(
+            raw_state['longwave_optical_thickness_due_to_aerosol']), 0, -1)
+        return dict(
+            play=play, plev=plev, tlay=tlay, tlev=tlev, tsfc=tsfc,
+            h2ovmr=h2ovmr, o3vmr=gas('ozone'),
+            co2vmr=gas('carbon_dioxide'), ch4vmr=gas('methane'),
+            n2ovmr=gas('nitrous_oxide'), o2vmr=gas('oxygen'),
+            cfc11vmr=gas('cfc11'), cfc12vmr=gas('cfc12'),
+            cfc22vmr=gas('cfc22'),
+            ccl4vmr=gas('carbon_tetrachloride'), emis=emis,
+            cldfrac=cldfrac, taucld=taucld, ciwp=ciwp, clwp=clwp,
+            rei=rei, rel=rel, tauaer=tauaer, grav=g, avogad=avogad,
+            cpdair=cpd)
 
-        cloud_tau = self._cloud_optical_depth(raw_state) + aerosol_tau
-        if self._cloud_overlap == 0:
-            cloud_fraction = jnp.zeros_like(cloud_fraction)
+    def array_call(self, raw_state):
+        inputs = self._gather_inputs(raw_state)
 
-        up, down, up_clear, down_clear, hr, hr_clear = _lw_radiation(
-            p_mid, p_int, T, T_sfc, q, o3, co2, emissivity,
-            cloud_tau, cloud_fraction, g, cpd, sigma)
+        if self._mcica:
+            # fresh seed per call from numpy's global RNG, mirroring the
+            # reference's protocol (component.py:369-381)
+            if self._rng == 0:
+                seed = int(np.random.randint(0, 1024))
+            else:
+                seed = int(np.random.randint(0, 2 ** 31 - 1))
+            rng_key = jax.random.PRNGKey(seed)
+        else:
+            rng_key = jax.random.PRNGKey(0)
+
+        out = _lw_radiation(
+            inflag=self._cloud_optics, iceflag=self._ice_props,
+            liqflag=self._liquid_props, icld=self._cloud_overlap,
+            idrv=self._calc_dflxdt, mcica_on=self._mcica,
+            rng_key=rng_key, **inputs)
+        if self._calc_dflxdt:
+            (up, down, hr, upc, downc, hrc, duflx_dt, duflxc_dt) = out
+            self.last_upward_flux_derivative = duflx_dt
+            self.last_upward_flux_derivative_clear_sky = duflxc_dt
+        else:
+            up, down, hr, upc, downc, hrc = out
 
         tendencies = {'air_temperature': hr}
         diagnostics = {
             'upwelling_longwave_flux_in_air': up,
             'downwelling_longwave_flux_in_air': down,
-            'upwelling_longwave_flux_in_air_assuming_clear_sky': up_clear,
-            'downwelling_longwave_flux_in_air_assuming_clear_sky':
-                down_clear,
+            'upwelling_longwave_flux_in_air_assuming_clear_sky': upc,
+            'downwelling_longwave_flux_in_air_assuming_clear_sky': downc,
             'air_temperature_tendency_from_longwave': hr,
             'air_temperature_tendency_from_longwave_assuming_clear_sky':
-                hr_clear,
+                hrc,
         }
         return tendencies, diagnostics

@@ -1,0 +1,267 @@
+"""Calibrate the surrogate RRTMG-LW k-tables.
+
+The LW gas absorption data is unobtainable here (tools/find_lw_ktables.py),
+so the surrogate tables (lw_surrogate.py) are fitted end-to-end through
+the full LW pipeline with JAX autodiff:
+
+TRAINING targets
+  1. TestRRTMGLongwave-{column,3d} reference caches (clear sky; the cache
+     states have q=0, so these constrain the CO2 / O3 / N2-continuum
+     parameters) -- flux profiles in W/m^2 and heating rates in K/day.
+  2. Physical integral anchors for the H2O parameters (the caches cannot
+     constrain them): clear-sky OLR ~ 288.5 W/m^2 and surface downwelling
+     ~ 392 W/m^2 on a tropical profile (Ts=300 K, 40 mm precipitable
+     water; canonical clear-sky tropical values), instantaneous TOA
+     forcing of CO2 doubling ~ 2.8 W/m^2.
+  3. L2 pull toward the physical priors (regularizes the
+     underdetermined directions).
+
+HELD-OUT validation (reported, never trained on):
+  TestRRTMGLongwaveWithExternalInterfaceTemperature-{column,3d},
+  TestRRTMGLongwaveWithClouds-{column,3d}.
+
+Writes climt_tpu/data/rrtmg_lw_surrogate_params.json and rebuilds the
+npz, then prints the per-family max-relative-error table that
+docs/RRTMG_LW_STATUS.md records.
+
+Run:  python tools/calibrate_lw_ktables.py [--steps N]
+"""
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(__file__))
+import cpu_env  # noqa: F401  (must be first: forces JAX onto host CPU)
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+import numpy as np  # noqa: E402
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), '..'))
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), '..', 'tests'))
+
+import climt_tpu as ct  # noqa: E402
+from climt_tpu.components.rrtmg import lw_surrogate  # noqa: E402
+from climt_tpu.components.rrtmg.lw_spectral import (  # noqa: E402
+    rrtmg_lw_fluxes)
+from golden import load_cached_outputs  # noqa: E402
+
+FAMILIES = {
+    'TestRRTMGLongwave': dict(kwargs={}),
+    'TestRRTMGLongwaveWithClouds': dict(
+        kwargs=dict(cloud_optical_properties='single_cloud_type')),
+    'TestRRTMGLongwaveWithExternalInterfaceTemperature': dict(
+        kwargs=dict(calculate_interface_temperature=False)),
+}
+TRAIN = [('TestRRTMGLongwave', 'column'), ('TestRRTMGLongwave', '3d')]
+HELDOUT = [('TestRRTMGLongwaveWithClouds', 'column'),
+           ('TestRRTMGLongwaveWithClouds', '3d'),
+           ('TestRRTMGLongwaveWithExternalInterfaceTemperature', 'column'),
+           ('TestRRTMGLongwaveWithExternalInterfaceTemperature', '3d')]
+
+
+def pipeline_case(family, descriptor):
+    """(inputs dict with 1 column, component flags, cached outputs)."""
+    comp = ct.RRTMGLongwave(**FAMILIES[family]['kwargs'])
+    nz = 30 if 'column' in descriptor else 28
+    if 'column' in descriptor:
+        grid = ct.get_grid(nx=None, ny=None, nz=nz)
+    else:
+        grid = ct.get_grid(nx=32, ny=16, nz=nz)
+    state = ct.get_default_state([comp], grid_state=grid)
+    raw, _ = comp._extract(state)
+    inputs = comp._gather_inputs(raw)
+    # cache states are horizontally uniform: keep one column
+    one = {}
+    for k, v in inputs.items():
+        if hasattr(v, 'ndim') and v.ndim >= 2:
+            one[k] = v[..., :1] if v.ndim == 2 else (
+                v[:, :1] if k != 'tauaer' else v[:, :1])
+        elif hasattr(v, 'ndim') and v.ndim == 1:
+            one[k] = v[:1]
+        else:
+            one[k] = v
+    # tauaer is (nz, ncol, 16); emis (16, ncol)
+    one['tauaer'] = inputs['tauaer'][:, :1, :]
+    one['emis'] = inputs['emis'][:, :1]
+    flags = dict(inflag=comp._cloud_optics, iceflag=comp._ice_props,
+                 liqflag=comp._liquid_props)
+    cached = load_cached_outputs(family, descriptor)
+    return one, flags, cached
+
+
+def cache_targets(cached):
+    """Stack cached outputs -> dict of 1-column arrays."""
+    tgt = {}
+    for d in cached:
+        for name, (vals, units, dims) in d.items():
+            if name == 'time':
+                continue
+            arr = np.asarray(vals, np.float64)
+            # (nz[,lat,lon]) -> one column
+            col = arr.reshape(arr.shape[0], -1)[:, 0]
+            tgt[name] = col
+    return tgt
+
+
+def tropical_inputs(nz=30, q_scale=1.0, co2_scale=1.0):
+    comp = ct.RRTMGLongwave()
+    state = ct.get_default_state(
+        [comp], grid_state=ct.get_grid(nx=None, ny=None, nz=nz))
+    p = np.asarray(state['air_pressure'].values).ravel()
+    Ts = 300.0
+    state['air_temperature'].values[:] = np.maximum(
+        Ts * (p / p[0]) ** (2.0 / 7.0 * 0.8), 200.0).reshape(
+            state['air_temperature'].shape)
+    state['specific_humidity'].values[:] = (
+        q_scale * 0.017 * (p / p[0]) ** 3).reshape(
+            state['specific_humidity'].shape)
+    state['surface_temperature'].values[:] = Ts
+    state['mole_fraction_of_carbon_dioxide_in_air'].values[:] *= co2_scale
+    raw, _ = comp._extract(state)
+    return comp._gather_inputs(raw)
+
+
+def flux_fn(inputs, tables, flags):
+    return rrtmg_lw_fluxes(tables=tables, use_tables=False,
+                           **inputs, **flags)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument('--steps', type=int, default=4000)
+    ap.add_argument('--lr', type=float, default=2e-2)
+    ap.add_argument('--resume', action='store_true',
+                    help='start from the saved calibrated params')
+    args = ap.parse_args()
+
+    train_cases = []
+    for family, desc in TRAIN:
+        inputs, flags, cached = pipeline_case(family, desc)
+        train_cases.append((inputs, flags, cache_targets(cached)))
+
+    trop = tropical_inputs()
+    trop2x = tropical_inputs(co2_scale=2.0)
+    flags0 = dict(inflag=2, iceflag=1, liqflag=1)
+
+    theta0 = (lw_surrogate.load_calibrated_params() if args.resume
+              else lw_surrogate.default_params())
+    prior = lw_surrogate.default_params()
+
+    flux_names = [
+        'upwelling_longwave_flux_in_air',
+        'downwelling_longwave_flux_in_air',
+        'upwelling_longwave_flux_in_air_assuming_clear_sky',
+        'downwelling_longwave_flux_in_air_assuming_clear_sky']
+    hr_names = ['air_temperature',
+                'air_temperature_tendency_from_longwave',
+                'air_temperature_tendency_from_longwave_assuming_clear_sky']
+
+    def loss_fn(theta):
+        tables = lw_surrogate.build_tables(theta)
+        total = 0.0
+        # (1) cache flux/heating-rate match
+        for inputs, flags, tgt in train_cases:
+            up, dn, hr, upc, dnc, hrc = flux_fn(inputs, tables, flags)
+            model = {
+                'upwelling_longwave_flux_in_air': up[:, 0],
+                'downwelling_longwave_flux_in_air': dn[:, 0],
+                'upwelling_longwave_flux_in_air_assuming_clear_sky':
+                    upc[:, 0],
+                'downwelling_longwave_flux_in_air_assuming_clear_sky':
+                    dnc[:, 0],
+                'air_temperature': hr[:, 0],
+                'air_temperature_tendency_from_longwave': hr[:, 0],
+                'air_temperature_tendency_from_longwave_assuming_clear_sky':
+                    hrc[:, 0]}
+            for name in flux_names:
+                if name in tgt:
+                    t = jnp.asarray(tgt[name])
+                    total = total + jnp.mean(
+                        ((model[name] - t) / jnp.maximum(jnp.abs(t), 5.0))
+                        ** 2)
+            for name in hr_names:
+                if name in tgt:
+                    t = jnp.asarray(tgt[name])
+                    total = total + 0.5 * jnp.mean((model[name] - t) ** 2)
+        # (2) physical H2O anchors (soft)
+        upT, dnT, _, _, _, _ = flux_fn(trop, tables, flags0)
+        olr, dlr = upT[-1, 0], dnT[0, 0]
+        up2, _, _, _, _, _ = flux_fn(trop2x, tables, flags0)
+        forcing = olr - up2[-1, 0]
+        total = total + 2e-3 * ((olr - 288.5) ** 2 + (dlr - 392.0) ** 2
+                                + 4.0 * (forcing - 2.8) ** 2)
+        # (3) prior regularization
+        total = total + 1e-4 * jnp.mean((theta - prior) ** 2)
+        return total
+
+    # hand-rolled Adam with exponential lr decay (optax's chex import is
+    # incompatible with the CPU-only backend stripping in cpu_env)
+    b1, b2, eps = 0.9, 0.999, 1e-8
+
+    @jax.jit
+    def step(i, theta, m, v):
+        val, grad = jax.value_and_grad(loss_fn)(theta)
+        lr = args.lr * (0.05 ** (i / args.steps))
+        m = b1 * m + (1 - b1) * grad
+        v = b2 * v + (1 - b2) * grad * grad
+        mhat = m / (1 - b1 ** (i + 1))
+        vhat = v / (1 - b2 ** (i + 1))
+        theta = theta - lr * mhat / (jnp.sqrt(vhat) + eps)
+        return theta, m, v, val
+
+    theta = jnp.asarray(theta0)
+    m = jnp.zeros_like(theta)
+    v = jnp.zeros_like(theta)
+    for i in range(args.steps):
+        theta, m, v, val = step(jnp.asarray(float(i)), theta, m, v)
+        if i % 200 == 0 or i == args.steps - 1:
+            print('step %5d  loss %.6g' % (i, float(val)))
+
+    theta = np.asarray(theta)
+    lw_surrogate.save_params(theta, meta={'steps': args.steps,
+                                          'loss': float(val)})
+    tables = lw_surrogate.build_tables(theta)
+    np.savez_compressed(
+        os.path.join(os.path.dirname(__file__), '..', 'climt_tpu', 'data',
+                     'rrtmg_lw_kdist_surrogate.npz'),
+        **{k: np.asarray(v, np.float64) for k, v in tables.items()})
+    print('saved params + npz')
+
+    # ---- residual report: train + held-out families ----
+    print('\n%-64s %10s %10s' % ('family', 'max|dF|Wm2', 'max|dHR|K/d'))
+    for family, desc in TRAIN + HELDOUT:
+        try:
+            inputs, flags, cached = pipeline_case(family, desc)
+        except FileNotFoundError:
+            continue
+        tgt = cache_targets(cached)
+        up, dn, hr, upc, dnc, hrc = flux_fn(inputs, tables, flags)
+        model = {
+            'upwelling_longwave_flux_in_air': up[:, 0],
+            'downwelling_longwave_flux_in_air': dn[:, 0],
+            'upwelling_longwave_flux_in_air_assuming_clear_sky': upc[:, 0],
+            'downwelling_longwave_flux_in_air_assuming_clear_sky':
+                dnc[:, 0],
+            'air_temperature': hr[:, 0],
+            'air_temperature_tendency_from_longwave': hr[:, 0],
+            'air_temperature_tendency_from_longwave_assuming_clear_sky':
+                hrc[:, 0]}
+        df = max(float(jnp.max(jnp.abs(model[n] - jnp.asarray(tgt[n]))))
+                 for n in flux_names if n in tgt)
+        dh = max(float(jnp.max(jnp.abs(model[n] - jnp.asarray(tgt[n]))))
+                 for n in hr_names if n in tgt)
+        print('%-64s %10.3f %10.3f' % ('%s-%s' % (family, desc), df, dh))
+
+    upT, dnT, _, _, _, _ = flux_fn(tropical_inputs(), tables, flags0)
+    up2, _, _, _, _, _ = flux_fn(tropical_inputs(co2_scale=2.0), tables,
+                                 flags0)
+    print('\ntropical anchors: OLR %.2f (target 288.5)  DLR %.2f '
+          '(target 392.0)  2xCO2 forcing %.2f (target 2.8)'
+          % (float(upT[-1, 0]), float(dnT[0, 0]),
+             float(upT[-1, 0] - up2[-1, 0])))
+
+
+if __name__ == '__main__':
+    main()
