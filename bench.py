@@ -3,15 +3,24 @@
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
 
 Headline metric (BASELINE.md north star): grid-point-steps per second per
-chip for the FULL moist GCM (spectral dynamics + RRTMG-interface radiation
-+ Emanuel convection + surface/PBL physics + slab ocean) at T85-equivalent
-resolution (nlon=256, nlat=128, nz=28, dt=600 s), one fused jit.
+chip for the FULL moist GCM at T85-equivalent resolution (nlon=256,
+nlat=128, nz=28, dt=600 s), one fused jit.  Physics is now honest: REAL
+correlated-k RRTMG radiation — the golden-matched 112-g-point shortwave
+core and the 140-g-point longwave pipeline (surrogate-calibrated
+k-tables, docs/RRTMG_LW_STATUS.md) — on an hourly lagged cadence
+(rad_every=6, the reference's UpdateFrequencyWrapper pattern,
+examples/gmd_aquaplanet.py:58-63), plus Emanuel convection, surface/PBL
+physics, and a slab ocean.
+
+Secondary metrics in the same JSON object:
+- rrtmg_columns_per_s: standalone full correlated-k LW+SW radiation
+  throughput (BASELINE.json metric #2), 60-level columns.
+- secondary_heldsuarez_T42_gridpoint_steps_per_s: dry dynamical core.
 
 The reference publishes no benchmark numbers (BASELINE.md); ``vs_baseline``
 is measured against a nominal 1e6 gridpoint-steps/s single-node figure for
 full-physics spectral GCMs of this size on CPU (a documented reference
-point, not a measured climt number).  A secondary Held-Suarez T42 number is
-included in the same JSON object.
+point, not a measured climt number).
 """
 
 import json
@@ -38,17 +47,83 @@ def measure(build, n_warmup, n_steps, gridpoints):
     return carry, gridpoints * n_steps / elapsed
 
 
+def measure_radiation(nz=60, ncol=8192, repeats=3):
+    """Standalone correlated-k LW+SW columns/s (one fused jit)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from climt_tpu.components.rrtmg.lw_spectral import rrtmg_lw_fluxes
+    from climt_tpu.components.rrtmg.sw_spectral import (
+        rrtmg_sw_fluxes, solar_variability)
+
+    dtype = jnp.float32
+    p_sfc = 1013.0
+    plev1 = np.linspace(p_sfc, 0.3, nz + 1)
+    play1 = 0.5 * (plev1[:-1] + plev1[1:])
+    tlay1 = np.maximum(300.0 - 60.0 * (1 - play1 / p_sfc) / 0.8, 205.0)
+    tlev1 = np.concatenate([[302.0], 0.5 * (tlay1[:-1] + tlay1[1:]),
+                            [tlay1[-1]]])
+
+    def cols(x):
+        return jnp.asarray(np.repeat(np.asarray(x)[:, None], ncol, 1),
+                           dtype)
+
+    play, plev = cols(play1), cols(plev1)
+    tlay, tlev = cols(tlay1), cols(tlev1)
+    tsfc = jnp.full((ncol,), 300.0, dtype)
+    h2o = cols(0.016 * (play1 / p_sfc) ** 3)
+    o3 = cols(5e-6 * np.exp(-0.5 * ((np.log(play1) - np.log(20.0))
+                                    / 1.2) ** 2))
+    co2 = jnp.full_like(play, 355e-6)
+    o2 = jnp.full_like(play, 0.21)
+    zero = jnp.zeros_like(play)
+    emis = jnp.ones((16, ncol), dtype)
+    mu0 = jnp.full((ncol,), 0.6, dtype)
+    alb = jnp.full((ncol,), 0.2, dtype)
+    solar_config = solar_variability(-1, 0.0)
+    nocloud = (jnp.zeros((nz, ncol, 14), dtype),) * 4
+    noaer = (jnp.zeros((nz, ncol, 14), dtype),) * 3
+
+    import functools
+
+    @jax.jit
+    def rad():
+        lw = rrtmg_lw_fluxes(
+            play, plev, tlay, tlev, tsfc, h2o, o3, co2, zero, zero, o2,
+            zero, zero, zero, zero, emis, zero,
+            jnp.zeros((nz, ncol, 16), dtype), zero, zero,
+            jnp.full_like(play, 25.0), jnp.full_like(play, 10.0),
+            jnp.zeros((nz, ncol, 16), dtype), 9.80665, 6.022140857e23,
+            1004.64, use_tables=False)
+        sw = rrtmg_sw_fluxes(
+            play, plev, tlay, h2o, o3, co2, zero, zero, o2,
+            alb, alb, alb, alb, mu0, zero, nocloud, noaer,
+            1.0, -1, 0.0, -1, solar_config,
+            9.80665, 6.022140857e23, 1004.64, icld=0)
+        return lw[2] + sw[4]
+
+    out = rad()
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for _ in range(repeats):
+        out = rad()
+    jax.block_until_ready(out)
+    elapsed = (time.perf_counter() - t0) / repeats
+    return ncol / elapsed
+
+
 def main():
     import jax.numpy as jnp
     import numpy as np
     from climt_tpu.dycore.compiled import build_held_suarez_model
     from climt_tpu.dycore.moist_gcm import build_moist_gcm
 
-    # headline: T85 moist GCM
+    # headline: T85 moist GCM with real correlated-k radiation (hourly)
     nlon, nlat, nz = 256, 128, 28
     moist = build_moist_gcm(nlon=nlon, nlat=nlat, nz=nz, timestep=600.0,
-                            dtype=jnp.float32)
-    carry, moist_rate = measure(moist, 5, 50, nlon * nlat * nz)
+                            dtype=jnp.float32, rad_every=6,
+                            rad_col_chunk=8192)
+    carry, moist_rate = measure(moist, 5, 48, nlon * nlat * nz)
     T = np.asarray(moist[0].sht.synthesize(carry[1]['T']))
     if np.isnan(T).any():
         print(json.dumps({
@@ -56,6 +131,9 @@ def main():
             'value': 0.0, 'unit': 'gridpoint-steps/s',
             'vs_baseline': 0.0, 'error': 'NaN in output'}))
         sys.exit(1)
+
+    # metric 2: standalone correlated-k radiation throughput
+    rad_rate = measure_radiation()
 
     # secondary: Held-Suarez T42 dry dynamical core
     hs = build_held_suarez_model(nlon=128, nlat=64, nz=28,
@@ -67,6 +145,8 @@ def main():
         'value': round(moist_rate, 1),
         'unit': 'gridpoint-steps/s',
         'vs_baseline': round(moist_rate / NOMINAL_BASELINE, 3),
+        'radiation': 'correlated-k RRTMG LW(140gpt)+SW(112gpt), hourly',
+        'rrtmg_columns_per_s': round(rad_rate, 1),
         'secondary_heldsuarez_T42_gridpoint_steps_per_s':
             round(hs_rate, 1),
     }))

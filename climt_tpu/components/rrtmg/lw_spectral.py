@@ -648,8 +648,10 @@ def cldprmc_lw(inflag, iceflag, liqflag, cldfmc, ciwpmc, clwpmc, taucmc,
     if inflag == 1:
         t = load_support()
         return float(t['abscld1']) * (ciwpmc + clwpmc)
+    # coefficient masks must see "any subcolumn has water", not g=0's
     absice16, absliq16 = _cloud_abs_coeffs(
-        iceflag, liqflag, ciwpmc[..., 0], clwpmc[..., 0], rei, rel, dtype)
+        iceflag, liqflag, jnp.max(ciwpmc, -1), jnp.max(clwpmc, -1),
+        rei, rel, dtype)
     return (ciwpmc * absice16[..., ngb]
             + clwpmc * absliq16[..., ngb])
 
@@ -832,12 +834,13 @@ def rtrn_lw(taug, fracs, planklay, planklev, plankbnd, semiss, pwvcm,
 
     fnet = totuflux - totdflux
     fnetc = totuclfl - totdclfl
+    # note rtrn.f90:584-585 zeroes htr(nlayers), but that is an EXTRA
+    # slot beyond the model top: the driver returns hr(1:nlay) =
+    # htr(0:nlay-1) (rrtmg_lw_rad.nomcica.f90 output mapping), so every
+    # model layer keeps its computed heating rate
     dpz = pz[:-1] - pz[1:]
     htr = heatfac * (fnet[:-1] - fnet[1:]) / dpz
     htrc = heatfac * (fnetc[:-1] - fnetc[1:]) / dpz
-    # top layer heating set to zero (rtrn.f90:584-585)
-    htr = htr.at[-1].set(0.0)
-    htrc = htrc.at[-1].set(0.0)
 
     out = (totuflux, totdflux, htr, totuclfl, totdclfl, htrc)
     if idrv:

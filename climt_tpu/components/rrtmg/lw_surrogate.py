@@ -88,9 +88,11 @@ def param_layout():
     layout = []
     for bi, bd in enumerate(BANDS_LW):
         num = bd['num']
+        ng = NG[bi]
         for region in ('lo', 'up'):
             for sp in _species_list(bd.get(region)):
-                layout.append(('b%d_%s_%s' % (num, region, sp), 5))
+                # 5 shape params + per-g log-k deviations
+                layout.append(('b%d_%s_%s' % (num, region, sp), 5 + ng))
         if bd.get('self_lo'):
             layout.append(('b%d_self' % num, 3))
         if bd.get('for_lo') or bd.get('for_up'):
@@ -98,6 +100,11 @@ def param_layout():
         for region in ('lo', 'up'):
             for gas, _mode in bd.get('minors_' + region, ()):
                 layout.append(('b%d_%s_m_%s' % (num, region, gas), 3))
+        # Planck-fraction tilt (the real fracrefs are data the surrogate
+        # must be free to approximate): f_g ~ w_g exp(c1 x + c2 x^2)
+        layout.append(('b%d_fraca' % num, 2))
+        if bd.get('up') is not None:
+            layout.append(('b%d_fracb' % num, 2))
     return layout
 
 
@@ -124,12 +131,15 @@ def default_params():
     for key, n in param_layout():
         parts = key.split('_')
         num = int(parts[0][1:])
-        if n == 5:
+        if n >= 5 and parts[1] in ('lo', 'up') and '_m_' not in key:
             sp = parts[2]
             logk = _SPECIES_LOGK.get(sp, {}).get(num, -6.0)
             if parts[1] == 'up':
                 logk -= 1.0
             vals.extend([logk, 2.5, -0.15, 0.7, 0.003])
+            vals.extend([0.0] * (n - 5))            # per-g deviations
+        elif 'fraca' in key or 'fracb' in key:
+            vals.extend([0.0, 0.0])
         elif 'self' in key:
             vals.extend([-1.5, 2.0, -0.03])
         elif '_m_' in key:
@@ -152,10 +162,12 @@ def unpack_params(theta):
 
 
 def _logk_surface(p5, x, logp, temp):
-    """log k over (x_g, node) grids: logk + s1 x + s2 x^2 + alpha dlnp +
-    beta dT.  Shapes broadcast: x (ng,), logp/temp node arrays."""
-    logk, s1, s2, alpha, beta = p5
-    return (logk + s1 * x + s2 * x * x
+    """log k over (x_g, node) grids: logk + s1 x + s2 x^2 + delta_g +
+    alpha dlnp + beta dT.  Shapes broadcast: x (ng,), logp/temp node
+    arrays; p5[5:] are the per-g deviations."""
+    logk, s1, s2, alpha, beta = p5[0], p5[1], p5[2], p5[3], p5[4]
+    delta = p5[5:] if p5.shape[0] > 5 else 0.0
+    return (logk + s1 * x + s2 * x * x + delta
             + alpha * (logp - np.log(250.0))[..., None]
             + beta * (temp - 250.0)[..., None])
 
@@ -249,9 +261,14 @@ def build_tables(theta):
                 if key not in out:
                     out[key] = jnp.full((ng,), _CFC_XS[tname])
 
-        out['b%d_fracrefa' % num] = jnp.asarray(ws[bi])
+        w = jnp.asarray(ws[bi])
+        c1, c2 = params['b%d_fraca' % num]
+        fa = w * jnp.exp(c1 * x + c2 * x * x)
+        out['b%d_fracrefa' % num] = fa / jnp.sum(fa)
         if bd.get('up') is not None:
-            out['b%d_fracrefb' % num] = jnp.asarray(ws[bi])
+            c1b, c2b = params['b%d_fracb' % num]
+            fb = w * jnp.exp(c1b * x + c2b * x * x)
+            out['b%d_fracrefb' % num] = fb / jnp.sum(fb)
     return out
 
 

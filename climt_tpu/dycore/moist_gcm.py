@@ -1,19 +1,29 @@
 """Fused moist GCM: spectral dynamics + full physics in one jitted step.
 
 The flagship configuration of BASELINE.md (config 5): the spectral
-primitive-equation core with RRTMG-interface radiation, Emanuel convection,
-bulk surface fluxes + implicit boundary-layer mixing, grid-scale
-condensation, and a slab ocean — everything traced into a single
-``lax.scan`` step (physics evaluated on the lagged grids, applied inside
-the semi-implicit leapfrog).
+primitive-equation core with REAL RRTMG radiation — the golden-matched
+112-g-point correlated-k shortwave (components/rrtmg/sw_spectral.py) and
+the 140-g-point longwave pipeline (components/rrtmg/lw_spectral.py,
+surrogate-calibrated k-tables, see docs/RRTMG_LW_STATUS.md) — Emanuel
+convection, bulk surface fluxes + implicit boundary-layer mixing,
+grid-scale condensation, and a slab ocean, everything traced into a
+single ``lax.scan`` step.
 
-All physics here call the same pure kernels as the standalone climt-style
-components (climt_tpu.components.*), re-oriented to the dycore's top-down
-(nz, nlat, nlon) layout; there is exactly one compiled program per run.
+Radiation runs on a lagged cadence (``rad_every`` dynamics steps, the
+UpdateFrequencyWrapper pattern of the reference's
+examples/gmd_aquaplanet.py:58-63 where radiation updates hourly), with
+an equinox diurnal cycle (instantaneous zenith angle per longitude) and
+the packaged climatological ozone profile interpolated in pressure.
+
+All physics call the same pure kernels as the standalone climt-style
+components (climt_tpu.components.*), re-oriented to the dycore's
+top-down (nz, nlat, nlon) layout; there is exactly one compiled program
+per run.
 """
 
 from __future__ import annotations
 
+import os
 from functools import partial
 
 import jax
@@ -21,9 +31,9 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..components.emanuel_convection import emanuel_convect
-from ..components.rrtmg.gas_optics import (
-    NUM_LW_BANDS, delta_two_stream, lw_band_optical_depth,
-    longwave_fluxes, sw_gas_optics, _SW_VIS_FRACTION)
+from ..components.rrtmg.lw_spectral import rrtmg_lw_fluxes
+from ..components.rrtmg.sw_spectral import (
+    rrtmg_sw_fluxes, solar_variability)
 from ..components.simple_physics import simple_physics_step
 from ..core.grid import hybrid_sigma_pressure_coefficients
 from ..core.util import bolton_q_sat, get_interface_values
@@ -35,6 +45,118 @@ _SIGMA_SB = 5.670367e-8
 _LV = 2.5e6
 _RD = 287.0
 _RV = 461.5
+_AVOGADRO = 6.022140857e23
+
+_DATA_DIR = os.path.join(os.path.dirname(__file__), '..', 'data')
+# climatological ozone (mole/mole) on 30 reference pressures
+_O3_P = 1e5 * np.linspace(0.998, 0.001, 30)[::-1]        # ascending Pa
+_O3_V = np.load(os.path.join(_DATA_DIR, 'ozone_profile.npy'))[::-1]
+
+
+def _make_radiation(dycore, nz, solar_constant=1367.0, albedo=0.27,
+                    co2_ppm=330.0, col_chunk=8192):
+    """radiation(T, q, p_mid, p_half, Ts, t_seconds) -> dict.
+
+    Shapes (nz, ncol) bottom-up, pressures in Pa; returns heating rate
+    in K/s plus surface/TOA flux diagnostics.  Full correlated-k LW+SW;
+    columns processed in ``col_chunk`` blocks via lax.map to bound the
+    live (nz, ncol, n_gpt) working set.
+    """
+    mu = np.asarray(dycore.sht.mu)
+    nlat = mu.shape[0]
+    nlon = dycore.nlon
+    ncol = nlat * nlon
+    lat = np.arcsin(mu)
+    lon = 2.0 * np.pi * np.arange(nlon) / nlon
+    coslat = np.cos(lat)[:, None] * np.ones((1, nlon))
+    sinlat = np.sin(lat)[:, None] * np.ones((1, nlon))
+    lon2 = np.broadcast_to(lon[None, :], (nlat, nlon))
+
+    solar_config = solar_variability(-1, 0.0)
+    sw_scale = solar_constant / 1368.22      # rrsw scon (parrrsw.f90:115)
+
+    o3_logp = jnp.asarray(np.log(_O3_P))
+    o3_vals = jnp.asarray(_O3_V)
+
+    chunks = max(1, ncol // col_chunk) if ncol % col_chunk == 0 else 1
+
+    def radiation(T, q, p_mid, p_half, Ts, t_seconds):
+        dtype = T.dtype
+        play = p_mid / 100.0
+        plev = p_half / 100.0
+        h2ovmr = q * (28.964 / 18.02)
+        o3vmr = jnp.interp(jnp.log(p_mid), o3_logp, o3_vals).astype(dtype)
+        co2 = jnp.full_like(T, co2_ppm * 1e-6)
+        zero = jnp.zeros_like(T)
+        o2 = jnp.full_like(T, 0.21)
+        tlev = get_interface_values(
+            T, Ts, p_mid, p_half)
+
+        # equinox diurnal cycle: hour angle advances with model time
+        hour_angle = (2.0 * jnp.pi * (t_seconds / 86400.0)
+                      + jnp.asarray(lon2.reshape(-1), dtype))
+        mu0 = (jnp.asarray(coslat.reshape(-1), dtype)
+               * jnp.cos(hour_angle))
+        day = mu0 > 0.0
+        mu0 = jnp.maximum(mu0, 1e-6)
+
+        emis = jnp.ones((16,) + Ts.shape, dtype)
+
+        def one_chunk(args):
+            (play_c, plev_c, T_c, tlev_c, Ts_c, h2o_c, o3_c, co2_c,
+             o2_c, mu0_c, day_c, emis_c) = args
+            nc = play_c.shape[1]
+            zero_c = jnp.zeros_like(play_c)
+            lw = rrtmg_lw_fluxes(
+                play_c, plev_c, T_c, tlev_c, Ts_c, h2o_c, o3_c, co2_c,
+                zero_c, zero_c, o2_c, zero_c, zero_c, zero_c, zero_c,
+                emis_c, zero_c, jnp.zeros((nz, nc, 16), dtype),
+                zero_c, zero_c, jnp.full_like(play_c, 25.0),
+                jnp.full_like(play_c, 10.0),
+                jnp.zeros((nz, nc, 16), dtype),
+                _G, _AVOGADRO, _CPD, use_tables=False)
+            lw_up, lw_dn, lw_hr = lw[0], lw[1], lw[2]
+
+            alb = jnp.full((nc,), albedo, dtype)
+            nocloud = (jnp.zeros((nz, nc, 14), dtype),) * 4
+            noaer = (jnp.zeros((nz, nc, 14), dtype),) * 3
+            sw_up, sw_dn, _, _, sw_hr, _ = rrtmg_sw_fluxes(
+                play_c, plev_c, T_c, h2o_c, o3_c, co2_c, zero_c,
+                zero_c, o2_c, alb, alb, alb, alb, mu0_c,
+                zero_c, nocloud, noaer,
+                sw_scale, -1, 0.0, -1, solar_config,
+                _G, _AVOGADRO, _CPD, icld=0)
+            daym = day_c[None, :]
+            sw_up = jnp.where(daym, sw_up, 0.0)
+            sw_dn = jnp.where(daym, sw_dn, 0.0)
+            sw_hr = jnp.where(daym, sw_hr, 0.0)
+            hr = (lw_hr + sw_hr) / 86400.0          # K/day -> K/s
+            return (hr,
+                    sw_dn[0] - sw_up[0] + lw_dn[0] - lw_up[0],
+                    lw_up[-1], sw_dn[-1] - sw_up[-1])
+
+        if chunks > 1:
+            def resh(x, axis):
+                # split the trailing column axis into (chunks, block)
+                return jnp.moveaxis(
+                    x.reshape(x.shape[:axis] + (chunks, -1)
+                              + x.shape[axis + 1:]), axis, 0)
+            args = (resh(play, 1), resh(plev, 1), resh(T, 1),
+                    resh(tlev, 1), resh(Ts, 0), resh(h2ovmr, 1),
+                    resh(o3vmr, 1), resh(co2, 1), resh(o2, 1),
+                    resh(mu0, 0), resh(day, 0), resh(emis, 1))
+            hr, sfc, olr, asr = jax.lax.map(one_chunk, args)
+            hr = jnp.moveaxis(hr, 0, 1).reshape(nz, ncol)
+            sfc = sfc.reshape(ncol)
+            olr = olr.reshape(ncol)
+            asr = asr.reshape(ncol)
+        else:
+            hr, sfc, olr, asr = one_chunk(
+                (play, plev, T, tlev, Ts, h2ovmr, o3vmr, co2, o2,
+                 mu0, day, emis))
+        return {'hr_rad': hr, 'sfc_rad': sfc, 'olr': olr, 'asr': asr}
+
+    return radiation
 
 
 def _make_physics(dycore, nz, dt,
@@ -42,20 +164,21 @@ def _make_physics(dycore, nz, dt,
                   albedo=0.27,
                   ocean_depth=5.0,
                   co2_ppm=330.0,
-                  emanuel_params=None):
-    """Return physics(grids, aux) -> (phys_tendencies, aux_new, diag)."""
+                  emanuel_params=None,
+                  rad_every=6,
+                  rad_col_chunk=8192):
+    """Return physics(grids, aux, step_idx) -> (tendencies, aux, diag).
+
+    Radiation (full correlated-k LW+SW) refreshes every ``rad_every``
+    steps; between refreshes the stored heating rates and surface fluxes
+    are reused (the reference's UpdateFrequencyWrapper pattern).
+    """
     mu = np.asarray(dycore.sht.mu)
     nlat = mu.shape[0]
     nlon = dycore.nlon
-    ncol = nlat * nlon
 
-    # diurnal/annual-mean insolation: equinox daily mean per latitude
-    coslat = np.sqrt(1.0 - mu ** 2)
-    mu0_daily = np.maximum(coslat * 2.0 / np.pi, 0.02)
-    mu0_grid = jnp.asarray(
-        np.broadcast_to(mu0_daily[:, None], (nlat, nlon)).reshape(-1))
-    # daylight-fraction weighting keeps the daily-mean insolation correct
-    incident_scale = 0.5
+    radiation = _make_radiation(dycore, nz, solar_constant, albedo,
+                                co2_ppm, col_chunk=rad_col_chunk)
 
     def to_cols(x):
         """(nz, nlat, nlon) top-down -> (nz, ncol) bottom-up."""
@@ -66,7 +189,7 @@ def _make_physics(dycore, nz, dt,
 
     em_params = emanuel_params
 
-    def physics(grids, aux):
+    def physics(grids, aux, step_idx):
         u = to_cols(grids['u'])
         v = to_cols(grids['v'])
         T = to_cols(grids['T'])
@@ -77,37 +200,22 @@ def _make_physics(dycore, nz, dt,
         Ts = aux['Ts'].reshape(-1)
         cbmf = aux['cbmf'].reshape(-1)
 
-        dp = p_half[:-1] - p_half[1:]
-        co2 = jnp.full_like(T, co2_ppm * 1e-6)
-        o3 = o3_profile_fn(p_mid)
+        # ---- radiation on a lagged cadence -----------------------------
+        t_model = step_idx.astype(T.dtype) * dt
 
-        # ---- longwave -------------------------------------------------
-        T_int = get_interface_values(T, Ts, p_mid, p_half)
-        tau_lw = lw_band_optical_depth(dp, q, co2, o3, p_mid, T)
-        emis = jnp.ones((NUM_LW_BANDS, ncol), dtype=T.dtype)
-        lw_up, lw_down = longwave_fluxes(tau_lw, T, T_int, Ts, emis,
-                                         _SIGMA_SB)
-        net_lw = lw_up - lw_down
-        hr_lw = (_G / _CPD) * (net_lw[1:] - net_lw[:-1]) / (
-            p_half[1:] - p_half[:-1])
+        def fresh_rad(_):
+            return radiation(T, q, p_mid, p_half, Ts, t_model)
 
-        # ---- shortwave ------------------------------------------------
-        tau_sw, omega_sw, g_sw = sw_gas_optics(dp, q, o3, p_mid, mu0_grid)
-        alb = jnp.full((ncol,), albedo, dtype=T.dtype)
-        inc_vis = jnp.full((ncol,), solar_constant * _SW_VIS_FRACTION
-                           * incident_scale, dtype=T.dtype)
-        inc_nir = jnp.full((ncol,),
-                           solar_constant * (1 - _SW_VIS_FRACTION)
-                           * incident_scale, dtype=T.dtype)
-        dn_v, up_v = delta_two_stream(tau_sw[0], omega_sw[0], g_sw[0],
-                                      mu0_grid, alb, alb, inc_vis)
-        dn_n, up_n = delta_two_stream(tau_sw[1], omega_sw[1], g_sw[1],
-                                      mu0_grid, alb, alb, inc_nir)
-        sw_down = dn_v + dn_n
-        sw_up = up_v + up_n
-        net_sw = sw_down - sw_up
-        hr_sw = (_G / _CPD) * (net_sw[1:] - net_sw[:-1]) / (
-            p_half[:-1] - p_half[1:])
+        def stale_rad(_):
+            return {'hr_rad': to_cols(aux['hr_rad']),
+                    'sfc_rad': aux['sfc_rad'].reshape(-1),
+                    'olr': aux['olr'].reshape(-1),
+                    'asr': aux['asr'].reshape(-1)}
+
+        rad = jax.lax.cond(step_idx % rad_every == 0,
+                           fresh_rad, stale_rad, operand=None)
+        hr_rad = rad['hr_rad']
+        net_sfc_rad = rad['sfc_rad']
 
         # ---- surface fluxes + boundary layer (time-split kernel) ------
         qsurf = jnp.zeros_like(ps)
@@ -130,22 +238,25 @@ def _make_physics(dycore, nz, dt,
 
         du = du_sp + conv['fu'].T
         dv = dv_sp + conv['fv'].T
-        dT = dT_sp + hr_lw + hr_sw + conv['ft'].T
+        dT = dT_sp + hr_rad + conv['ft'].T
         dq = dq_sp + conv['fq'].T
 
         # ---- slab ocean -----------------------------------------------
-        net_sfc = (sw_down[0] - sw_up[0] + lw_down[0] - lw_up[0]
-                   - shf - lhf)
+        net_sfc = net_sfc_rad - shf - lhf
         heat_capacity = 1.029e3 * 4.1813e3 * ocean_depth
         Ts_new = Ts + dt * net_sfc / heat_capacity
 
         aux_new = {
             'Ts': Ts_new.reshape(nlat, nlon),
             'cbmf': conv['cbmf'].reshape(nlat, nlon),
+            'hr_rad': to_grid3(hr_rad),
+            'sfc_rad': net_sfc_rad.reshape(nlat, nlon),
+            'olr': rad['olr'].reshape(nlat, nlon),
+            'asr': rad['asr'].reshape(nlat, nlon),
         }
         diag = {
-            'olr': lw_up[-1].reshape(nlat, nlon),
-            'asr': (sw_down[-1] - sw_up[-1]).reshape(nlat, nlon),
+            'olr': rad['olr'].reshape(nlat, nlon),
+            'asr': rad['asr'].reshape(nlat, nlon),
             'conv_precip': conv['precip'].reshape(nlat, nlon),
             'ls_precip': precip_ls.reshape(nlat, nlon),
             'shf': shf.reshape(nlat, nlon),
@@ -159,24 +270,18 @@ def _make_physics(dycore, nz, dt,
         }
         return phys, aux_new, diag
 
-    # climatological ozone (mole fraction) as a smooth analytic profile
-    def o3_profile_fn(p_mid):
-        # evaluate the spline on host once per build via static pressures
-        # is not traceable; use a smooth analytic fit of the profile
-        p = p_mid
-        # peak ~8 ppm near 10 hPa falling off toward surface and top
-        x = jnp.log(jnp.maximum(p, 1.0) / 1e3)       # log(p/10hPa)
-        return 3e-8 + 7.5e-6 * jnp.exp(-0.5 * (x / 1.3) ** 2)
-
     return physics
 
 
 def build_moist_gcm(nlon=128, nlat=64, nz=28, timestep=600.0,
                     number_of_damped_levels=5, ocean_depth=5.0,
-                    dtype=jnp.float32, fft_impl='fft'):
+                    dtype=jnp.float32, fft_impl='fft', rad_every=6,
+                    rad_col_chunk=8192):
     """Return (dycore, init_fn, step_fn, run_fn) for the full moist GCM.
 
-    run_fn(carry, n_steps) -> carry; carry = (prev, now, grids, aux).
+    run_fn(carry, n_steps) -> carry; carry = (prev, now, grids, aux, k0)
+    where k0 is the global step index (drives the radiation cadence and
+    the diurnal cycle).
     """
     ak, bk = hybrid_sigma_pressure_coefficients(nz + 1, 1e5, 20.0)
     dycore = SpectralDycore(
@@ -193,14 +298,21 @@ def build_moist_gcm(nlon=128, nlat=64, nz=28, timestep=600.0,
 
     physics = _make_physics(dycore, nz, timestep,
                             ocean_depth=ocean_depth,
-                            emanuel_params=em_params)
+                            emanuel_params=em_params,
+                            rad_every=rad_every,
+                            rad_col_chunk=rad_col_chunk)
 
     @jax.jit
     def _init(u, v, T, q, lnps, Ts, cbmf):
         spec = dycore.spectral_state_from_grid(u, v, T, q, lnps)
         prev, now = dycore.initial_step(spec)
         grids = dycore.grids_of(prev)
-        aux = {'Ts': Ts, 'cbmf': cbmf}
+        nlat_, nlon_ = Ts.shape
+        aux = {'Ts': Ts, 'cbmf': cbmf,
+               'hr_rad': jnp.zeros((nz, nlat_, nlon_), dtype),
+               'sfc_rad': jnp.zeros((nlat_, nlon_), dtype),
+               'olr': jnp.zeros((nlat_, nlon_), dtype),
+               'asr': jnp.zeros((nlat_, nlon_), dtype)}
         return prev, now, grids, aux
 
     def init_fn(seed=0):
@@ -217,18 +329,19 @@ def build_moist_gcm(nlon=128, nlat=64, nz=28, timestep=600.0,
         q = np.clip(q, 1e-7, 0.025)
         zeros = np.zeros(shape)
         lnps = np.full((nlat, nlon), np.log(1e5))
-        return _init(
+        carry = _init(
             jnp.asarray(zeros, dtype=dtype), jnp.asarray(zeros, dtype=dtype),
             jnp.asarray(T, dtype=dtype), jnp.asarray(q, dtype=dtype),
             jnp.asarray(lnps, dtype=dtype),
             jnp.asarray(Ts2d, dtype=dtype),
             jnp.zeros((nlat, nlon), dtype=dtype))
+        return carry + (jnp.zeros((), jnp.int32),)
 
     def step_fn(carry, _):
-        prev, now, prev_grids, aux = carry
-        phys, aux_new, diag = physics(prev_grids, aux)
+        prev, now, prev_grids, aux, k = carry
+        phys, aux_new, diag = physics(prev_grids, aux, k)
         filtered, new, now_grids = dycore.step(prev, now, phys=phys)
-        return (filtered, new, now_grids, aux_new), diag
+        return (filtered, new, now_grids, aux_new, k + 1), diag
 
     @partial(jax.jit, static_argnums=(1,))
     def run_fn(carry, n_steps):

@@ -54,9 +54,11 @@ def replicated(mesh):
     return NamedSharding(mesh, P())
 
 
-def shard_model_state(mesh, prev, now, grids, aux=None, shard_lon=False):
+def shard_model_state(mesh, prev, now, grids, aux=None, step_idx=None,
+                      shard_lon=False):
     """Place a compiled-model carry onto the mesh with the production
-    layout: spectral states replicated, grid/aux fields domain-decomposed."""
+    layout: spectral states replicated, grid/aux fields domain-decomposed
+    ((nz, nlat, nlon) and (nlat, nlon) shapes), step counters replicated."""
     import jax
     rep = replicated(mesh)
     prev = {k: jax.device_put(v, rep) for k, v in prev.items()}
@@ -66,7 +68,10 @@ def shard_model_state(mesh, prev, now, grids, aux=None, shard_lon=False):
         for k, v in grids.items()}
     out = (prev, now, grids)
     if aux is not None:
-        aux = {k: jax.device_put(v, grid_sharding(mesh, v.ndim, shard_lon))
-               for k, v in aux.items()}
+        aux = {k: jax.device_put(
+            v, grid_sharding(mesh, v.ndim, shard_lon) if v.ndim >= 2
+            else rep) for k, v in aux.items()}
         out = out + (aux,)
+    if step_idx is not None:
+        out = out + (jax.device_put(step_idx, rep),)
     return out

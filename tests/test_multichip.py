@@ -31,6 +31,14 @@ def _tree_allclose(a, b, rtol, atol, path=''):
             err_msg=path)
 
 
+def _run_n(step_fn, n_steps):
+    def run(carry):
+        for _ in range(n_steps):
+            carry, _ = step_fn(carry, None)
+        return carry
+    return run
+
+
 @pytest.mark.skipif(len(jax.devices()) < 8, reason='needs 8 devices')
 def test_moist_gcm_sharded_matches_single_device():
     """N fused moist-GCM steps with the production sharding layout must
@@ -43,12 +51,7 @@ def test_moist_gcm_sharded_matches_single_device():
         nlon=32, nlat=16, nz=8, timestep=600.0, dtype=jnp.float64,
         fft_impl='matmul')
 
-    n_steps = 3
-
-    def run(carry):
-        for _ in range(n_steps):
-            carry, _ = step_fn(carry, None)
-        return carry
+    run = _run_n(step_fn, 3)
 
     carry0 = init_fn()
     ref = jax.jit(run)(carry0)
@@ -73,10 +76,7 @@ def test_lon_sharded_matches_single_device():
         nlon=32, nlat=16, nz=8, timestep=600.0, dtype=jnp.float64,
         fft_impl='matmul')
 
-    def run(carry):
-        carry, _ = step_fn(carry, None)
-        return carry
-
+    run = _run_n(step_fn, 1)
     ref = jax.tree_util.tree_map(np.asarray, jax.jit(run)(init_fn()))
 
     mesh = make_mesh(8, mesh_shape=(4, 2))

@@ -186,12 +186,20 @@ def main():
                     t = jnp.asarray(tgt[name])
                     total = total + 0.5 * jnp.mean((model[name] - t) ** 2)
         # (2) physical H2O anchors (soft)
-        upT, dnT, _, _, _, _ = flux_fn(trop, tables, flags0)
+        upT, dnT, hrT, _, _, _ = flux_fn(trop, tables, flags0)
         olr, dlr = upT[-1, 0], dnT[0, 0]
         up2, _, _, _, _, _ = flux_fn(trop2x, tables, flags0)
         forcing = olr - up2[-1, 0]
         total = total + 2e-3 * ((olr - 288.5) ** 2 + (dlr - 392.0) ** 2
                                 + 4.0 * (forcing - 2.8) ** 2)
+        # tropospheric cooling on the tropical profile stays physical
+        # (clear-sky LW cooling ~ -1..-3 K/day; hard excursions penalized)
+        p_trop = trop['play'][:, 0]
+        mask = p_trop > 100.0
+        hr_t = hrT[:, 0]
+        total = total + 1e-2 * jnp.sum(
+            jnp.where(mask, jnp.maximum(-hr_t - 6.0, 0.0) ** 2
+                      + jnp.maximum(hr_t - 2.0, 0.0) ** 2, 0.0))
         # (3) prior regularization
         total = total + 1e-4 * jnp.mean((theta - prior) ** 2)
         return total
