@@ -74,7 +74,22 @@ class GFSDynamicalCore(Stepper):
             'dims': ['mid_levels', 'lat', 'lon'], 'units': 's^-1'},
     }
 
-    diagnostic_properties = {}
+    @property
+    def diagnostic_properties(self):
+        """Wrapped components' diagnostics pass through the dycore call
+        (reference behavior: the full-moist cache's first dict holds the
+        LW fluxes, convection scales and surface fluxes of the wrapped
+        components, TestFullMoistGFSDycoreWithPhysics-3d-0.cache).
+
+        The dycore itself computes none (restore path sees {}): the
+        wrapped components return labeled DataArrays that are merged in
+        ``__call__``."""
+        if getattr(self, '_restoring', False):
+            return {}
+        combined = {}
+        for comp in getattr(self, '_components', ()):
+            combined.update(getattr(comp, 'diagnostic_properties', {}))
+        return combined
 
     def __init__(self, tendency_component_list=None,
                  number_of_damped_levels=0,
@@ -163,16 +178,18 @@ class GFSDynamicalCore(Stepper):
                 if set(arr.dims) == {'mid_levels', 'lat', 'lon'} else arr
             return jnp.asarray(da.values)[::-1]
 
+        self._collected_diagnostics = {}
         for comp in self._components:
             if isinstance(comp, ImplicitTendencyComponent) or (
                     not isinstance(comp, TendencyComponent)
                     and hasattr(comp, 'tendency_properties')):
                 try:
-                    tendencies, _ = comp(state, timestep)
+                    tendencies, diags = comp(state, timestep)
                 except TypeError:
-                    tendencies, _ = comp(state)
+                    tendencies, diags = comp(state)
             else:
-                tendencies, _ = comp(state)
+                tendencies, diags = comp(state)
+            self._collected_diagnostics.update(diags)
             for name, value in tendencies.items():
                 if name == 'eastward_wind':
                     du = du + to_topdown(value, value.units, 'm s^-2')
@@ -272,9 +289,19 @@ class GFSDynamicalCore(Stepper):
         # stash the labeled state so wrapped physics can be called with it
         self._phys_state = state
         self._phys_for_state = None
+        self._collected_diagnostics = {}
         if self._components:
             shape = state['eastward_wind'].transpose(
                 'mid_levels', 'lat', 'lon').shape
             self._phys_for_state = self._physics_tendencies(
                 state, timestep, shape)
-        return super().__call__(state, timestep)
+        self._restoring = True
+        try:
+            diagnostics, new_state = super().__call__(state, timestep)
+        finally:
+            self._restoring = False
+        # wrapped components' diagnostics pass through (reference dycore
+        # behavior, see diagnostic_properties)
+        merged = dict(self._collected_diagnostics)
+        merged.update(diagnostics)
+        return merged, new_state
