@@ -33,20 +33,21 @@ from .common import (
     rrtmg_cloud_liquid_props_dict, rrtmg_cloud_overlap_method_dict,
     rrtmg_cloud_props_dict, rrtmg_random_number_dict,
     validate_mcica_options)
+from .mcica import mcica_subcolumns
 from . import sw_spectral as S
 
 
 @functools.partial(
     jax.jit,
     static_argnames=('isolvar', 'icld', 'inflag', 'iceflag', 'liqflag',
-                     'iaer', 'day_of_year', 'solar_config'))
+                     'iaer', 'day_of_year', 'solar_config', 'mcica_on'))
 def _sw_driver(play, plev, tlay, h2ovmr, o3vmr, co2vmr, ch4vmr, n2ovmr,
                o2vmr, asdir, asdif, aldir, aldif, coszen, cldfrac,
                tauc_in, ssac_in, asmc_in, fsfc_in, ciwp, clwp, rei, rel,
                taua_in, ssaa_in, asma_in, ecaer, adjes,
                grav, avogadro, cpdair,
                isolvar, icld, inflag, iceflag, liqflag, iaer,
-               day_of_year, solar_config):
+               day_of_year, solar_config, mcica_on=False, rng_key=None):
     dtype = play.dtype
     nz, ncol = play.shape
 
@@ -67,13 +68,37 @@ def _sw_driver(play, plev, tlay, h2ovmr, o3vmr, co2vmr, ch4vmr, n2ovmr,
         aerosol = (taua_in, ssaa_in, asma_in)
 
     scon = 0.0  # folded into solar_config already
+    common = dict(
+        adjes=adjes, day_of_year=day_of_year, scon=scon,
+        isolvar=isolvar, solar_config=solar_config,
+        grav=grav, avogadro=avogadro, cpdair=cpdair)
+
+    if mcica_on and icld != 0:
+        # McICA: stochastic subcolumns per g-point (mcica_subcol_gen_sw
+        # .f90), per-g cloud optics from the delta-scaled band properties
+        # (rrtmg_sw_cldprmc.f90 — the cloudy-subcolumn water paths equal
+        # the grid-mean, so per-g properties are the band values gathered
+        # through NGB), then the spcvmc two-stream.
+        tauc_b, ssac_b, asmc_b, _ = cloud
+        overlap = 1 if icld == 1 else (2 if icld == 2 else 3)
+        cldfmc, _, _, taucmc = mcica_subcolumns(
+            rng_key, overlap, cldfrac, ciwp, clwp, tauc_b,
+            jnp.asarray(S.NGB))
+        iscld = cldfmc > 0
+        ssacmc = jnp.where(iscld, ssac_b[..., S.NGB], 1.0).astype(dtype)
+        asmcmc = jnp.where(iscld, asmc_b[..., S.NGB], 0.0).astype(dtype)
+        return S.rrtmg_sw_fluxes(
+            play, plev, tlay, h2ovmr, o3vmr, co2vmr, ch4vmr, n2ovmr,
+            o2vmr, asdir, asdif, aldir, aldif, coszen, cldfrac,
+            cloud_optics=cloud, aerosol_optics=aerosol, icld=icld,
+            per_g_cloud=True,
+            cloud_g=(cldfmc.astype(dtype), taucmc.astype(dtype),
+                     ssacmc, asmcmc),
+            **common)
     return S.rrtmg_sw_fluxes(
         play, plev, tlay, h2ovmr, o3vmr, co2vmr, ch4vmr, n2ovmr, o2vmr,
         asdir, asdif, aldir, aldif, coszen, cldfrac,
-        cloud_optics=cloud, aerosol_optics=aerosol,
-        adjes=adjes, day_of_year=day_of_year, scon=scon,
-        isolvar=isolvar, solar_config=solar_config,
-        grav=grav, avogadro=avogadro, cpdair=cpdair, icld=icld)
+        cloud_optics=cloud, aerosol_optics=aerosol, icld=icld, **common)
 
 
 class RRTMGShortwave(TendencyComponent):
@@ -268,6 +293,17 @@ class RRTMGShortwave(TendencyComponent):
         asma_in = jnp.moveaxis(a('aerosol_asymmetry_parameter'), 0, -1)
         ecaer = a('aerosol_optical_depth_at_55_micron')
 
+        if self._mcica:
+            # fresh seed per call from numpy's global RNG, mirroring the
+            # reference's protocol (sw/component.py permuteseed handling)
+            if self._rng == 0:
+                seed = int(np.random.randint(0, 1024))
+            else:
+                seed = int(np.random.randint(0, 2 ** 31 - 1))
+            rng_key = jax.random.PRNGKey(seed)
+        else:
+            rng_key = jax.random.PRNGKey(0)
+
         fu, fd, fuc, fdc, hr, hrc = _sw_driver(
             play, plev, tlay, h2ovmr,
             a('mole_fraction_of_ozone_in_air'),
@@ -291,7 +327,8 @@ class RRTMGShortwave(TendencyComponent):
             isolvar=self._solar_var_flag, icld=self._cloud_overlap,
             inflag=inflag, iceflag=iceflag, liqflag=liqflag,
             iaer=self._aerosol_type, day_of_year=day_of_year,
-            solar_config=solar_static)
+            solar_config=solar_static, mcica_on=self._mcica,
+            rng_key=rng_key)
 
         tendencies = {'air_temperature': hr}
         diagnostics = {

