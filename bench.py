@@ -24,10 +24,24 @@ point, not a measured climt number).
 """
 
 import json
+import os
 import sys
 import time
 
 NOMINAL_BASELINE = 1.0e6  # gridpoint-steps/s, nominal single-node reference
+
+
+def enable_compile_cache():
+    """Persistent XLA compilation cache: the T85 moist-GCM program takes
+    ~90 s to compile and the fused correlated-k radiation ~4 min; caching
+    under the repo makes repeat bench runs start in seconds."""
+    import jax
+    cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             '.jax_cache')
+    os.makedirs(cache_dir, exist_ok=True)
+    jax.config.update('jax_compilation_cache_dir', cache_dir)
+    jax.config.update('jax_persistent_cache_min_compile_time_secs', 1.0)
+    jax.config.update('jax_persistent_cache_min_entry_size_bytes', -1)
 
 
 def measure(build, n_warmup, n_steps, gridpoints):
@@ -112,7 +126,16 @@ def measure_radiation(nz=60, ncol=8192, repeats=3):
     return ncol / elapsed
 
 
+def _phase(msg, _t0=[None]):
+    if _t0[0] is None:
+        _t0[0] = time.time()
+    print('[bench {:6.1f}s] {}'.format(time.time() - _t0[0], msg),
+          file=sys.stderr, flush=True)
+
+
 def main():
+    _phase('start')
+    enable_compile_cache()
     import jax.numpy as jnp
     import numpy as np
     from climt_tpu.dycore.compiled import build_held_suarez_model
@@ -123,7 +146,9 @@ def main():
     moist = build_moist_gcm(nlon=nlon, nlat=nlat, nz=nz, timestep=600.0,
                             dtype=jnp.float32, rad_every=6,
                             rad_col_chunk=8192)
-    carry, moist_rate = measure(moist, 5, 48, nlon * nlat * nz)
+    _phase('moist model built')
+    carry, moist_rate = measure(moist, 5, 24, nlon * nlat * nz)
+    _phase('moist measured: {:.3g} gps/s'.format(moist_rate))
     T = np.asarray(moist[0].sht.synthesize(carry[1]['T']))
     if np.isnan(T).any():
         print(json.dumps({
@@ -134,11 +159,14 @@ def main():
 
     # metric 2: standalone correlated-k radiation throughput
     rad_rate = measure_radiation()
+    _phase('radiation measured: {:.3g} col/s'.format(rad_rate))
 
-    # secondary: Held-Suarez T42 dry dynamical core
+    # secondary: Held-Suarez T42 dry dynamical core (1000 steps so the
+    # timed region is ~0.5 s; 200 steps gave ±30% run-to-run noise)
     hs = build_held_suarez_model(nlon=128, nlat=64, nz=28,
                                  timestep=600.0, dtype=jnp.float32)
-    _, hs_rate = measure(hs, 10, 200, 128 * 64 * 28)
+    _, hs_rate = measure(hs, 10, 1000, 128 * 64 * 28)
+    _phase('held-suarez measured: {:.3g} gps/s'.format(hs_rate))
 
     print(json.dumps({
         'metric': 'moist_gcm_T85_gridpoint_steps_per_s',

@@ -276,12 +276,21 @@ def _make_physics(dycore, nz, dt,
 def build_moist_gcm(nlon=128, nlat=64, nz=28, timestep=600.0,
                     number_of_damped_levels=5, ocean_depth=5.0,
                     dtype=jnp.float32, fft_impl='fft', rad_every=6,
-                    rad_col_chunk=8192):
+                    rad_col_chunk=8192, conserve_water=True):
     """Return (dycore, init_fn, step_fn, run_fn) for the full moist GCM.
 
     run_fn(carry, n_steps) -> carry; carry = (prev, now, grids, aux, k0)
     where k0 is the global step index (drives the radiation cadence and
     the diurnal cycle).
+
+    conserve_water: spectral (advective-form) moisture transport plus
+    negative-value clipping silently creates/destroys water; when True, a
+    global multiplicative mass fixer rescales the non-negative part of
+    the advected humidity so the area-weighted total water after each
+    leapfrog step equals the pre-step total plus the physics source
+    (evaporation - precipitation) — the same role as the mass fixer in
+    the GFS's grid-space tracer advection.  Closure is asserted in
+    tests/test_dycore_multistep.py.
     """
     ak, bk = hybrid_sigma_pressure_coefficients(nz + 1, 1e5, 20.0)
     dycore = SpectralDycore(
@@ -337,10 +346,40 @@ def build_moist_gcm(nlon=128, nlat=64, nz=28, timestep=600.0,
             jnp.zeros((nlat, nlon), dtype=dtype))
         return carry + (jnp.zeros((), jnp.int32),)
 
+    # Gaussian-quadrature area weights (sum over lat/lon of w/nlon = 2)
+    _wlat = jnp.asarray(np.asarray(dycore.sht.weights), dtype)[None, :,
+                                                               None]
+
+    def _total_water(q_g, p_half):
+        """Area-weighted mass-proxy integral sum(w * q * dp)."""
+        dp = p_half[1:] - p_half[:-1]
+        return jnp.sum(_wlat * q_g * dp)
+
+    def _fix_water(new, prev, phys):
+        """Global multiplicative moisture mass fixer (see docstring)."""
+        sht = dycore.sht
+        q_prev = sht.synthesize(prev['q'])
+        ps_prev = jnp.exp(sht.synthesize(prev['lnps']))
+        ph_prev, _, _, _ = dycore._vertical_structures(ps_prev)
+        src = jnp.sum(_wlat * phys['dq']
+                      * (ph_prev[1:] - ph_prev[:-1]))
+        target = _total_water(q_prev, ph_prev) + 2.0 * timestep * src
+
+        q_new = sht.synthesize(new['q'])
+        ps_new = jnp.exp(sht.synthesize(new['lnps']))
+        ph_new, _, _, _ = dycore._vertical_structures(ps_new)
+        q_pos = jnp.clip(q_new, 0.0, None)
+        tw_new = _total_water(q_pos, ph_new)
+        scale = jnp.where(tw_new > 0.0,
+                          jnp.clip(target, 0.0, None) / tw_new, 1.0)
+        return dict(new, q=sht.analyze(q_pos * scale))
+
     def step_fn(carry, _):
         prev, now, prev_grids, aux, k = carry
         phys, aux_new, diag = physics(prev_grids, aux, k)
         filtered, new, now_grids = dycore.step(prev, now, phys=phys)
+        if conserve_water:
+            new = _fix_water(new, prev, phys)
         return (filtered, new, now_grids, aux_new, k + 1), diag
 
     @partial(jax.jit, static_argnums=(1,))

@@ -21,6 +21,15 @@ for _name in [n for n in _xb._backend_factories if n != 'cpu']:
 jax.config.update('jax_platforms', 'cpu')
 jax.config.update('jax_enable_x64', True)
 
+# Persistent compilation cache: the RRTMG/dycore programs dominate suite
+# wall time on first compile; repeat runs skip straight to execution.
+_cache_dir = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), '.jax_cache')
+os.makedirs(_cache_dir, exist_ok=True)
+jax.config.update('jax_compilation_cache_dir', _cache_dir)
+jax.config.update('jax_persistent_cache_min_compile_time_secs', 1.0)
+jax.config.update('jax_persistent_cache_min_entry_size_bytes', -1)
+
 import pytest  # noqa: E402
 
 from climt_tpu.core.constants import reset_constants, set_constant  # noqa: E402
