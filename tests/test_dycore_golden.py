@@ -28,11 +28,32 @@ Achieved one-step parity (documented, asserted below with headroom ~3x):
   WithImplicitTendency         air_temperature        1.7e-13 K
   WithGrayLongwaveRadiation    air_temperature        2.2e-9 K
   WithDcmipInitialConditions   air_temperature        3.4e-7 K
-                               northward_wind         1.7e-4 m/s (1% of a
-                               1.8e-2 m/s field; a zonal-mean even-n
-                               divergence-tendency term ~0.1% of the
-                               roundoff-scale divergence remains
-                               unidentified)
+                               northward_wind         1.7e-4 m/s
+
+The northward-wind residual was isolated in round 3
+(tools/diag_dcmip_residual*.py, diag_dcmip_fit*.py, diag_dcmip_trunc_uv.py):
+ - it is entirely the inverse-Laplacian image of a divergence residual
+   confined to m=0, even n (div diff 3.5e-11 at n=2 maps to
+   a/sqrt(n(n+1)) * that = 1.7e-4 m/s in v; u/T/vort/ps all at or near
+   machine precision);
+ - the div residual is INVARIANT under the start-up time scheme
+   (half/full Euler vs plain Euler vs semi-implicit leapfrog-from-rest
+   give identical residuals to 3 digits), i.e. it is a fixed difference
+   in one explicit tendency term, not integrator choice;
+ - regression against the individual divergence-tendency terms
+   attributes it to the nonlinear rotational momentum-flux divergence
+   div((zeta+f)v, -(zeta+f)u): fit coefficient -3.7e-3, R^2 = 0.93 over
+   m=0 even-n x level; all other terms R^2 <= 0.35;
+ - tested and REJECTED: dropping the exact P_{T+1} row of the u,v
+   synthesis (100x worse), alternative hybrid PGF coefficient stencils
+   (algebraically equivalent), alpha_top in the PGF (dB=0 at top makes
+   it inert there), mid-level-pressure geopotential variants (3 orders
+   too small).
+Attribution: the reference dycore forms/dealiases the rotational
+momentum-flux product by a slightly different route (~0.4% relative on
+this one term); without its source (the gfs_dynamical_core package is
+not on this mirror) the exact stencil cannot be recovered from one
+cached step.  The 5e-4 tolerance below brackets the attributed term.
 
 The first four cases meet the reference harness's own criterion
 ``np.isclose(current - cached, 0.)`` (atol 1e-8) on every prognostic.

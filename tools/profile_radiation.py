@@ -81,8 +81,8 @@ def main():
         return cs, pwvcm
 
     (cs, pwv) = lw_inatm_setcoef()
-    t = bench_fn(lw_inatm_setcoef)
-    log('LW inatm+setcoef: {:7.2f} ms'.format(t * 1e3))
+    jax.block_until_ready(pwv)
+    log('LW inatm+setcoef compiled (timing skipped; cheap)')
 
     wx = {name: jnp.zeros_like(play)
           for name in ('ccl4', 'cfc11', 'cfc12', 'cfc22')}
@@ -125,8 +125,8 @@ def main():
         return S.setcoef_sw(play, tlay, coldry_sw, wkl_sw)
 
     cs_sw = sw_setcoef()
-    t = bench_fn(sw_setcoef)
-    log('SW setcoef:       {:7.2f} ms'.format(t * 1e3))
+    jax.block_until_ready(cs_sw['jp'])
+    log('SW setcoef compiled (timing skipped; cheap)')
 
     @jax.jit
     def sw_taumol(cs_sw):
@@ -151,37 +151,7 @@ def main():
     t = bench_fn(sw_spcvrt, taug_sw, taur_sw, sflux)
     log('SW spcvrt:        {:7.2f} ms'.format(t * 1e3))
 
-    # ---------------- fused drivers -------------------------------------
-    @jax.jit
-    def lw_full():
-        return L.rrtmg_lw_fluxes(
-            play, plev, tlay, tlev, tsfc, h2o, o3, co2, zero, zero, o2,
-            zero, zero, zero, zero, emis, zero,
-            jnp.zeros((nz, ncol, 16), dtype), zero, zero,
-            jnp.full_like(play, 25.0), jnp.full_like(play, 10.0),
-            jnp.zeros((nz, ncol, 16), dtype), grav, avogad, cpd,
-            use_tables=False)
-
-    out = lw_full()
-    t = bench_fn(lw_full)
-    log('LW full:          {:7.2f} ms -> {:.3g} col/s'.format(
-        t * 1e3, ncol / t))
-
-    nocloud = (jnp.zeros((nz, ncol, 14), dtype),) * 4
-    noaer = (jnp.zeros((nz, ncol, 14), dtype),) * 3
-
-    @jax.jit
-    def sw_full():
-        return S.rrtmg_sw_fluxes(
-            play, plev, tlay, h2o, o3, co2, zero, zero, o2,
-            alb, alb, alb, alb, mu0, zero, nocloud, noaer,
-            1.0, -1, 0.0, -1, solar_config,
-            grav, avogad, cpd, icld=0)
-
-    out = sw_full()
-    t = bench_fn(sw_full)
-    log('SW full:          {:7.2f} ms -> {:.3g} col/s'.format(
-        t * 1e3, ncol / t))
+    log('done (fused-driver totals come from bench.py: 8192 col / 1.5 s)')
 
 
 if __name__ == '__main__':
