@@ -47,6 +47,80 @@ def _take_level(arr, idx):
     return jnp.take_along_axis(arr, idx[:, None], axis=1)[:, 0]
 
 
+def lifted_parcel(T, q, qs, p, gz, nk, icb, nl0, params):
+    """TLIFT: temperature/virtual temperature/condensate of a parcel
+    lifted from level ``nk`` (dry below cloud base ``icb``, reversibly
+    saturated above), vectorized over columns.
+
+    Mirrors the reference's TLIFT (convect43c.f90:1136-1207): the
+    saturated ascent conserves the liquid-water static energy ah0 of the
+    origin level and solves the implicit parcel-temperature equation
+    with two Newton iterations; the Fortran's saturation vapor pressure
+    (Bolton above freezing, integrated Clausius-Clapeyron below) is
+    applied per iterate.  Value-validated against an exact root solve in
+    tests/test_emanuel_values.py.
+
+    Args:
+        T, q, qs, p, gz: (ncol, nz) bottom-up profiles (p in mb, gz in
+            J/kg).
+        nk, icb: (ncol,) int origin and cloud-base level indices.
+        nl0: 0-based index of the highest convecting level.
+        params: scheme-constant dict (cpd, cpv, cl, rv, rd, lv0).
+
+    Returns (tp, tvp, clw): each (ncol, nz).
+    """
+    cpd, cpv, cl = params['cpd'], params['cpv'], params['cl']
+    rv, rd, lv0 = params['rv'], params['rd'], params['lv0']
+    cpvmcl = cl - cpv
+    eps = rd / rv
+    epsi = 1.0 / eps
+    nz = T.shape[1]
+    k = jnp.arange(nz)[None, :]
+
+    T_nk = _take_level(T, nk)
+    q_nk = _take_level(q, nk)
+    gz_nk = _take_level(gz, nk)
+
+    ah0 = ((cpd * (1.0 - q_nk) + cl * q_nk) * T_nk
+           + q_nk * (lv0 - cpvmcl * (T_nk - 273.15)) + gz_nk)
+    cpp = cpd * (1.0 - q_nk) + q_nk * cpv
+
+    tp_dry = T_nk[:, None] - (gz - gz_nk[:, None]) / cpp[:, None]
+    tvp_dry = tp_dry * (1.0 + q_nk[:, None] * epsi)
+
+    # saturated lift: two Newton iterations at every level
+    tg = T
+    qg = qs
+    alv = lv0 - cpvmcl * (T - 273.15)
+    for _ in range(2):
+        s = 1.0 / (cpd + alv * alv * qg / (rv * T * T))
+        ahg = cpd * tg + (cl - cpd) * q_nk[:, None] * T + alv * qg + gz
+        tg = jnp.maximum(tg + s * (ah0[:, None] - ahg), 35.0)
+        tc = tg - 273.15
+        es = jnp.where(
+            tc >= 0.0,
+            6.112 * jnp.exp(17.67 * tc / (243.5 + tc)),
+            jnp.exp(23.33086 - 6111.72784 / tg + 0.15215 * jnp.log(tg)))
+        qg = eps * es / jnp.maximum(p - es * (1.0 - eps), 1e-30)
+    tp_sat = (ah0[:, None] - (cl - cpd) * q_nk[:, None] * T - gz
+              - alv * qg) / cpd
+    clw = jnp.maximum(q_nk[:, None] - qg, 0.0)
+    rg = qg / (1.0 - q_nk[:, None])
+    tvp_sat = tp_sat * (1.0 + rg * epsi)
+
+    below_cb = k < icb[:, None]
+    tp = jnp.where(below_cb, tp_dry, tp_sat)
+    tvp = jnp.where(below_cb, tvp_dry, tvp_sat)
+    clw = jnp.where(below_cb, 0.0, clw)
+    # virtual-temperature correction TVP -= TP * q(NK)
+    tvp = tvp - tp * q_nk[:, None]
+    # extend one level above NL
+    tvp = tvp.at[:, nl0 + 1].set(
+        tvp[:, nl0] - (_take_level(gz, jnp.full_like(nk, nl0 + 1))
+                       - gz[:, nl0]) / cpd)
+    return tp, tvp, clw
+
+
 @partial(jax.jit, static_argnums=(9,))
 def emanuel_convect(T, q, qs, u, v, p, ph, cbmf_in, dt, nl, params):
     """One call of the convection scheme over all columns.
@@ -154,43 +228,7 @@ def emanuel_convect(T, q, qs, u, v, p, ph, cbmf_in, dt, nl, params):
     nk_s = jnp.clip(nk, 0, nz - 4)
 
     # ---- lifted parcel (TLIFT): dry below cloud base, saturated above --
-    ah0 = ((cpd * (1.0 - q_nk) + cl * q_nk) * T_nk
-           + q_nk * (lv0 - cpvmcl * (T_nk - 273.15)) + gz_nk)
-    cpp = cpd * (1.0 - q_nk) + q_nk * cpv
-
-    tp_dry = T_nk[:, None] - (gz - gz_nk[:, None]) / cpp[:, None]
-    tvp_dry = tp_dry * (1.0 + q_nk[:, None] * epsi)
-
-    # saturated lift: two Newton iterations at every level
-    tg = T
-    qg = qs
-    alv = lv0 - cpvmcl * (T - 273.15)
-    for _ in range(2):
-        s = 1.0 / (cpd + alv * alv * qg / (rv * T * T))
-        ahg = cpd * tg + (cl - cpd) * q_nk[:, None] * T + alv * qg + gz
-        tg = jnp.maximum(tg + s * (ah0[:, None] - ahg), 35.0)
-        tc = tg - 273.15
-        es = jnp.where(
-            tc >= 0.0,
-            6.112 * jnp.exp(17.67 * tc / (243.5 + tc)),
-            jnp.exp(23.33086 - 6111.72784 / tg + 0.15215 * jnp.log(tg)))
-        qg = eps * es / jnp.maximum(p - es * (1.0 - eps), 1e-30)
-    tp_sat = (ah0[:, None] - (cl - cpd) * q_nk[:, None] * T - gz
-              - alv * qg) / cpd
-    clw = jnp.maximum(q_nk[:, None] - qg, 0.0)
-    rg = qg / (1.0 - q_nk[:, None])
-    tvp_sat = tp_sat * (1.0 + rg * epsi)
-
-    below_cb = k < icb_s[:, None]
-    tp = jnp.where(below_cb, tp_dry, tp_sat)
-    tvp = jnp.where(below_cb, tvp_dry, tvp_sat)
-    clw = jnp.where(below_cb, 0.0, clw)
-    # virtual-temperature correction TVP -= TP * q(NK)
-    tvp = tvp - tp * q_nk[:, None]
-    # extend one level above NL
-    tvp = tvp.at[:, nl0 + 1].set(
-        tvp[:, nl0] - (_take_level(gz, jnp.full_like(nk, nl0 + 1))
-                       - gz[:, nl0]) / cpd)
+    tp, tvp, clw = lifted_parcel(T, q, qs, p, gz, nk, icb_s, nl0, params)
 
     # ---- stability check at cloud base ---------------------------------
     tv_icb = _take_level(tv, icb_s)
