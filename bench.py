@@ -113,7 +113,7 @@ def measure_radiation(nz=60, ncol=8192, repeats=3):
             play, plev, tlay, h2o, o3, co2, zero, zero, o2,
             alb, alb, alb, alb, mu0, zero, nocloud, noaer,
             1.0, -1, 0.0, -1, solar_config,
-            9.80665, 6.022140857e23, 1004.64, icld=0)
+            9.80665, 6.022140857e23, 1004.64, icld=0, use_tables=False)
         return lw[2] + sw[4]
 
     out = rad()

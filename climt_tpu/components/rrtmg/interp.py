@@ -1,0 +1,75 @@
+"""Table-row interpolation primitives for the RRTMG gas-optics kernels.
+
+The correlated-k scheme is dominated by weighted sums of rows of small
+k-coefficient tables:
+
+    out[z, c, :] = sum_t  w_t[z, c] * table[idx_t[z, c], :]
+
+(the 2x2x2 pressure/temperature/eta interpolation of
+rrtmg_lw_taumol.f90 / rrtmg_sw_taumol.f90, the water-vapor continuum
+terms, the minor-absorber terms, and the Planck-fraction eta
+interpolation all have this shape).
+
+On TPU, dynamic row gathers do not vectorize: 8 gathers into a (585, 16)
+table cost ~13 ms at GCM shapes while the same contraction as a one-hot
+matmul on the MXU costs ~4 ms at HIGHEST precision with <=4e-7 relative
+error (tools/diag_gather_cost.py).  ``mix_rows`` therefore builds the
+combined sparse weight matrix W[z, c, r] = sum_t w_t * onehot(idx_t) and
+contracts it against the table in one dot, for float32/bfloat16 inputs.
+float64 inputs (the golden-parity validation mode, where MXU f64 would
+be emulated and slow) keep exact sequential row gathers.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def mix_rows(table, terms):
+    """sum_t w_t * table[clip(idx_t)] over (idx, weight) pairs.
+
+    Args:
+      table: (rows, ng) coefficient table.
+      terms: iterable of (idx, w): idx int32 arrays of shape S, w arrays
+        of shape S (already including any regime masks / column factors).
+    Returns:
+      (S..., ng) array in the weights' dtype.
+    """
+    terms = list(terms)
+    rows = table.shape[0]
+    w0 = terms[0][1]
+    if w0.dtype == jnp.float64:
+        acc = None
+        for idx, w in terms:
+            t = w[..., None] * table[jnp.clip(idx, 0, rows - 1)]
+            acc = t if acc is None else acc + t
+        return acc
+    iota = jnp.arange(rows, dtype=jnp.int32)
+    W = None
+    for idx, w in terms:
+        oh = (jnp.clip(idx, 0, rows - 1)[..., None] == iota)
+        t = w[..., None] * oh
+        W = t if W is None else W + t
+    nd = W.ndim
+    return jax.lax.dot_general(
+        W, table.astype(W.dtype), (((nd - 1,), (0,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST)
+
+
+def lin_rows(table, idx, frac, weight=None):
+    """weight * (table[idx] + frac * (table[idx+1] - table[idx])).
+
+    The standard two-point table interpolation re-expressed for
+    ``mix_rows``: weight*(1-frac) on row idx, weight*frac on row idx+1.
+    float64 keeps the reference's exact formula and operation order.
+    """
+    rows = table.shape[0]
+    if frac.dtype == jnp.float64:
+        lo = table[jnp.clip(idx, 0, rows - 1)]
+        hi = table[jnp.clip(idx + 1, 0, rows - 1)]
+        out = lo + frac[..., None] * (hi - lo)
+        return out if weight is None else weight[..., None] * out
+    w_hi = frac if weight is None else weight * frac
+    w_lo = (1.0 - frac) if weight is None else weight * (1.0 - frac)
+    return mix_rows(table, [(idx, w_lo), (idx + 1, w_hi)])

@@ -50,6 +50,8 @@ import jax.numpy as jnp
 import numpy as np
 from jax import lax
 
+from .interp import lin_rows, mix_rows
+
 _DATA_DIR = os.path.join(os.path.dirname(__file__), '..', '..', 'data')
 _SUPPORT = os.path.join(_DATA_DIR, 'rrtmg_lw_support.npz')
 _KDIST = os.path.join(_DATA_DIR, 'rrtmg_lw_kdist_surrogate.npz')
@@ -284,9 +286,7 @@ def setcoef_lw(pavel, tavel, tz, tbound, semiss, coldry, wkl, wbroad,
 
     def plnk_interp(temp):
         ind, frac = plnk_index(temp)
-        lo = totplnk[ind]                           # (..., 16)
-        hi = totplnk[ind + 1]
-        return lo + frac[..., None] * (hi - lo)
+        return lin_rows(totplnk, ind, frac)         # (..., 16)
 
     planklay = plnk_interp(tavel)                   # (nz, ncol, 16)
     planklev = plnk_interp(tz)                      # (nz+1, ncol, 16)
@@ -423,10 +423,23 @@ def taumol_lw(cs, wx, dtype, tables=None):
             else:
                 table, rows_a = absb, 0
 
-            acc0 = jnp.zeros((nz, ncol, ng), dtype)
-            acc1 = jnp.zeros((nz, ncol, ng), dtype)
+            if have_lo and have_up:
+                sc0 = jnp.where(trop, speccomb_l, speccomb_u)
+                sc1 = jnp.where(trop, speccomb_l1, speccomb_u1)
+            elif have_lo:
+                sc0 = jnp.where(trop, speccomb_l, 0.0)
+                sc1 = jnp.where(trop, speccomb_l1, 0.0)
+            else:
+                sc0 = jnp.where(trop, 0.0, speccomb_u)
+                sc1 = jnp.where(trop, 0.0, speccomb_u1)
+
+            # 8-term 2x2x2 (pressure, temperature, eta) interpolation as
+            # one sparse-weight MXU contraction (interp.mix_rows); the
+            # speccomb column factors are folded into the term weights
+            terms = []
             for side, (f0name, f1name) in (
                     ('i0', ('fac00', 'fac10')), ('i1', ('fac01', 'fac11'))):
+                sc = sc0 if side == 'i0' else sc1
                 for fac_name, nsp_off in ((f0name, 0), (f1name, 1)):
                     fac = cs[fac_name]
                     for eta_off in (0, 1):
@@ -453,32 +466,16 @@ def taumol_lw(cs, wx, dtype, tables=None):
                         else:
                             w = jnp.where(trop, 0.0, wu)
                             idx = iu
-                        idx = jnp.clip(idx, 0, table.shape[0] - 1)
-                        term = w[..., None] * table[idx]
-                        if side == 'i0':
-                            acc0 = acc0 + term
-                        else:
-                            acc1 = acc1 + term
-
-            if have_lo and have_up:
-                sc0 = jnp.where(trop, speccomb_l, speccomb_u)
-                sc1 = jnp.where(trop, speccomb_l1, speccomb_u1)
-            elif have_lo:
-                sc0 = jnp.where(trop, speccomb_l, 0.0)
-                sc1 = jnp.where(trop, speccomb_l1, 0.0)
-            else:
-                sc0 = jnp.where(trop, 0.0, speccomb_u)
-                sc1 = jnp.where(trop, 0.0, speccomb_u1)
-            taug = taug + sc0[..., None] * acc0 + sc1[..., None] * acc1
+                        if nspa != 9 and nspb != 5 and eta_off:
+                            continue        # eta term absent on both sides
+                        terms.append((idx, w * sc))
+            taug = taug + mix_rows(table, terms)
 
         # --- water-vapor self/foreign continuum -------------------------
         selfref, forref = tab('selfref'), tab('forref')
         if bd.get('self_lo') and selfref is not None:
-            i = cs['indself']
-            s0 = selfref[i]
-            s1 = selfref[jnp.clip(i + 1, 0, selfref.shape[0] - 1)]
-            taug = taug + jnp.where(trop, cs['selffac'], 0.0)[..., None] * (
-                s0 + cs['selffrac'][..., None] * (s1 - s0))
+            taug = taug + lin_rows(selfref, cs['indself'], cs['selffrac'],
+                                   jnp.where(trop, cs['selffac'], 0.0))
         if (bd.get('for_lo') or bd.get('for_up')) and forref is not None:
             if bd.get('for_lo') and bd.get('for_up'):
                 fmask = jnp.ones_like(trop)
@@ -486,11 +483,8 @@ def taumol_lw(cs, wx, dtype, tables=None):
                 fmask = trop
             else:
                 fmask = ~trop
-            i = cs['indfor']
-            f0 = forref[jnp.clip(i, 0, forref.shape[0] - 1)]
-            f1 = forref[jnp.clip(i + 1, 0, forref.shape[0] - 1)]
-            taug = taug + jnp.where(fmask, cs['forfac'], 0.0)[..., None] * (
-                f0 + cs['forfrac'][..., None] * (f1 - f0))
+            taug = taug + lin_rows(forref, cs['indfor'], cs['forfrac'],
+                                   jnp.where(fmask, cs['forfac'], 0.0))
 
         # --- minor absorbers ---------------------------------------------
         for region, key in (('lo', 'minors_lo'), ('up', 'minors_up')):
@@ -499,13 +493,11 @@ def taumol_lw(cs, wx, dtype, tables=None):
                                         gas))
                 if ktab is None:
                     continue
-                i = cs['indminor']
-                k0 = ktab[i]
-                k1 = ktab[jnp.clip(i + 1, 0, ktab.shape[0] - 1)]
-                kint = k0 + cs['minorfrac'][..., None] * (k1 - k0)
                 amount = _adjusted_column(gas, mode, cs)
                 mask = trop if region == 'lo' else ~trop
-                taug = taug + jnp.where(mask, amount, 0.0)[..., None] * kint
+                taug = taug + lin_rows(ktab, cs['indminor'],
+                                       cs['minorfrac'],
+                                       jnp.where(mask, amount, 0.0))
 
         # --- CFC/CCL4 cross-sections --------------------------------------
         for region, key in (('lo', 'wx_lo'), ('up', 'wx_up')):
@@ -541,9 +533,7 @@ def taumol_lw(cs, wx, dtype, tables=None):
             mult = n_eta * parm
             jpl = _trunc_int(mult)
             fpl = mult - jpl
-            lo = frtab[:, jpl]                      # (ng, nz, ncol)
-            hi = frtab[:, jnp.clip(jpl + 1, 0, frtab.shape[1] - 1)]
-            return jnp.moveaxis(lo + fpl[None] * (hi - lo), 0, -1)
+            return lin_rows(frtab.T, jpl, fpl)      # (nz, ncol, ng)
 
         f_lo = (frac_interp(fraca, bd.get('planck_lo'), 8)
                 if fraca is not None

@@ -39,6 +39,8 @@ import jax.numpy as jnp
 import numpy as np
 from jax import lax
 
+from .interp import lin_rows, mix_rows
+
 _DATA = os.path.join(os.path.dirname(__file__), '..', '..', 'data',
                      'rrtmg_sw_kdist.npz')
 
@@ -305,38 +307,6 @@ def taumol_sw(cs, isolvar, svar_f, svar_s, svar_i,
             else:
                 table, rows_a = absb, 0
 
-            acc = jnp.zeros((nz, ncol, ng), dtype)
-            # explicit 8-term expansion (see module docstring):
-            # offsets [0, 1, nsp, nsp+1] on ind0 then ind1, weights
-            # [(1-fs)f00, fs f00, (1-fs)f10, fs f10, (1-fs)f01, ...]
-            terms = []
-            for ind_sel, f0, f1 in (
-                    ('i0', 'fac00', 'fac10'), ('i1', 'fac01', 'fac11')):
-                for fac_name, nsp_off in ((f0, 0), (f1, 1)):
-                    for eta_off in (0, 1):
-                        terms.append((ind_sel, fac_name, nsp_off, eta_off))
-            for ind_sel, fac_name, nsp_off, eta_off in terms:
-                fac = cs[fac_name]
-                if have_lo:
-                    wl = fac * (fsl if eta_off else (1.0 - fsl))
-                    il = ((ind0a if ind_sel == 'i0' else ind1a)
-                          + nsp_off * nspa + eta_off)
-                if have_up:
-                    wu = fac * (fsu if eta_off else (1.0 - fsu))
-                    iu = ((ind0b if ind_sel == 'i0' else ind1b)
-                          + nsp_off * nspb + eta_off)
-                if have_lo and have_up:
-                    w = jnp.where(trop, wl, wu)
-                    idx = jnp.where(trop, il, rows_a + iu)
-                elif have_lo:
-                    w = jnp.where(trop, wl, 0.0)
-                    idx = jnp.clip(il, 0, table.shape[0] - 1)
-                else:
-                    w = jnp.where(trop, 0.0, wu)
-                    idx = jnp.clip(iu, 0, table.shape[0] - 1)
-                idx = jnp.clip(idx, 0, table.shape[0] - 1)
-                acc = acc + w[..., None] * table[idx]
-
             if have_lo and have_up:
                 speccomb = jnp.where(trop, speccomb_l, speccomb_u)
             elif have_lo:
@@ -345,19 +315,47 @@ def taumol_sw(cs, isolvar, svar_f, svar_s, svar_i,
                 speccomb = jnp.where(trop, 0.0, speccomb_u)
             kscale = bd.get('kscale_lo')
             if kscale:
-                acc = acc * jnp.where(trop, kscale, 1.0)[..., None]
-            taug = taug + speccomb[..., None] * acc
+                speccomb = speccomb * jnp.where(trop, kscale, 1.0)
+
+            # 8-term 2x2x2 (pressure, temperature, eta) interpolation as
+            # one sparse-weight MXU contraction (interp.mix_rows);
+            # speccomb (and band 23's kscale) fold into the term weights
+            terms = []
+            for ind_sel, f0, f1 in (
+                    ('i0', 'fac00', 'fac10'), ('i1', 'fac01', 'fac11')):
+                for fac_name, nsp_off in ((f0, 0), (f1, 1)):
+                    for eta_off in (0, 1):
+                        if eta_off and nspa != 9 and nspb != 5:
+                            continue    # eta term absent on both sides
+                        fac = cs[fac_name]
+                        if have_lo:
+                            wl = fac * (fsl if eta_off else (1.0 - fsl))
+                            il = ((ind0a if ind_sel == 'i0' else ind1a)
+                                  + nsp_off * nspa + eta_off)
+                        if have_up:
+                            wu = fac * (fsu if eta_off else (1.0 - fsu))
+                            iu = ((ind0b if ind_sel == 'i0' else ind1b)
+                                  + nsp_off * nspb + eta_off)
+                        if have_lo and have_up:
+                            w = jnp.where(trop, wl, wu)
+                            idx = jnp.where(trop, il, rows_a + iu)
+                        elif have_lo:
+                            w = jnp.where(trop, wl, 0.0)
+                            idx = il
+                        else:
+                            w = jnp.where(trop, 0.0, wu)
+                            idx = iu
+                        terms.append((idx, w * speccomb))
+            taug = taug + mix_rows(table, terms)
 
         # --- water-vapor self/foreign continuum -------------------------
         selfref, forref = tab('selfref'), tab('forref')
         if bd['self_lo'] or bd['for_lo'] or bd['for_up']:
-            sf = 0.0
+            colh2o = cs['colh2o']
             if bd['self_lo']:
-                i = cs['indself']
-                s0 = selfref[i]
-                s1 = selfref[jnp.clip(i + 1, 0, selfref.shape[0] - 1)]
-                sf = sf + jnp.where(trop, cs['selffac'], 0.0)[..., None] * (
-                    s0 + cs['selffrac'][..., None] * (s1 - s0))
+                taug = taug + lin_rows(
+                    selfref, cs['indself'], cs['selffrac'],
+                    jnp.where(trop, cs['selffac'], 0.0) * colh2o)
             if bd['for_lo'] and bd['for_up']:
                 fmask = jnp.ones_like(trop)
             elif bd['for_lo']:
@@ -365,12 +363,9 @@ def taumol_sw(cs, isolvar, svar_f, svar_s, svar_i,
             elif bd['for_up']:
                 fmask = ~trop
             if bd['for_lo'] or bd['for_up']:
-                i = cs['indfor']
-                f0 = forref[jnp.clip(i, 0, forref.shape[0] - 1)]
-                f1 = forref[jnp.clip(i + 1, 0, forref.shape[0] - 1)]
-                sf = sf + jnp.where(fmask, cs['forfac'], 0.0)[..., None] * (
-                    f0 + cs['forfrac'][..., None] * (f1 - f0))
-            taug = taug + cs['colh2o'][..., None] * sf
+                taug = taug + lin_rows(
+                    forref, cs['indfor'], cs['forfrac'],
+                    jnp.where(fmask, cs['forfac'], 0.0) * colh2o)
 
         # --- minor absorbers --------------------------------------------
         for gas, table_name, regime in bd.get('extra', ()):
@@ -398,9 +393,7 @@ def taumol_sw(cs, isolvar, svar_f, svar_s, svar_i,
         else:  # band 24: eta-interpolated lower, raylb upper
             rayla, raylb = tab('rayla'), tab('raylb')
             # rayla stored (ng, 9): interpolate at (js, fs) of lower eta
-            r_lo = (rayla[:, js0_l] + fs_l[None]
-                    * (rayla[:, jnp.clip(js0_l + 1, 0, 8)] - rayla[:, js0_l]))
-            r_lo = jnp.moveaxis(r_lo, 0, -1)            # (nz, ncol, ng)
+            r_lo = lin_rows(rayla.T, js0_l, fs_l)       # (nz, ncol, ng)
             taur = colmol[..., None] * jnp.where(
                 trop[..., None], r_lo, raylb[None, None, :])
         taur = jnp.broadcast_to(taur, (nz, ncol, ng)).astype(dtype)
@@ -430,9 +423,7 @@ def taumol_sw(cs, isolvar, svar_f, svar_s, svar_i,
                 return jnp.broadcast_to(ref[None, :], (ncol, ng))
             js_sol = at_ref(js0_l if where == 'lo' else js0_u)
             fs_sol = at_ref(fs_l if where == 'lo' else fs_u)
-            lo = ref[:, js_sol]
-            hi = ref[:, jnp.clip(js_sol + 1, 0, ref.shape[1] - 1)]
-            return jnp.moveaxis(lo + fs_sol[None] * (hi - lo), 0, -1)
+            return lin_rows(ref.T, js_sol, fs_sol)      # (ncol, ng)
 
         scale = bd.get('sflux_scale', 1.0)
         if isolvar < 0:
@@ -455,13 +446,24 @@ def taumol_sw(cs, isolvar, svar_f, svar_s, svar_i,
             jnp.concatenate(sflux_parts, axis=-1))
 
 
-def _exp_transmittance(tau):
+def _exp_transmittance(tau, use_tables=True):
     """exp(-tau) via the Fortran Pade lookup (rrtmg_sw_init.f90:100-123).
 
     Matches reference arithmetic: below od_lo a quadratic expansion,
     above it the 10000-entry table on the Pade-transformed argument.
+
+    use_tables=False computes ``exp(-tau)`` directly instead: the table
+    only quantizes the exact exponential (it exists so the Fortran could
+    avoid transcendentals), and per-element gathers into a 10^4-entry
+    table are ~160x slower than the VPU exponential on TPU
+    (tools/diag_gather_cost.py) — the fast path is used by the fused GCM
+    and the benchmark, the table path by the f64 golden-parity tests.
     """
     ze1 = jnp.minimum(tau, 500.0)
+    if not use_tables:
+        # clamp at the table's EXPEPS floor: f32 exp underflows to 0 for
+        # tau > ~88 and the reftra solver takes 1/zem1 of this value
+        return jnp.maximum(jnp.exp(-ze1), EXPEPS)
     small = 1.0 - ze1 + 0.5 * ze1 * ze1
     tblind = ze1 / (BPADE + ze1)
     itind = _trunc_int(NTBL * tblind + 0.5)
@@ -469,7 +471,7 @@ def _exp_transmittance(tau):
     return jnp.where(ze1 <= OD_LO, small, lut)
 
 
-def reftra_sw(tau, omega, g, mu0, active):
+def reftra_sw(tau, omega, g, mu0, active, use_tables=True):
     """Two-stream reflectance/transmittance (rrtmg_sw_reftra.f90 kmodts=2).
 
     All args broadcastable to (nz, ncol, ngpt); mu0 is (ncol, 1) or
@@ -491,7 +493,7 @@ def reftra_sw(tau, omega, g, mu0, active):
     za = gamma1 * mu0
     za1 = za - gamma3
     zgt = gamma1 * tau
-    ze2c = _exp_transmittance(tau / mu0)
+    ze2c = _exp_transmittance(tau / mu0, use_tables)
     ref_c = jnp.where(ze2c == 1.0, 0.0,
                       (zgt - za1 * (1.0 - ze2c)) / (1.0 + zgt))
     tra_c = 1.0 - ref_c
@@ -518,9 +520,9 @@ def reftra_sw(tau, omega, g, mu0, active):
     zt3 = zrk2 * (gamma4 + za1n * mu0)
     zbeta = (gamma1 - zrk) / zrkg
 
-    zem1 = _exp_transmittance(jnp.minimum(zrk * tau, 500.0))
+    zem1 = _exp_transmittance(jnp.minimum(zrk * tau, 500.0), use_tables)
     zep1 = 1.0 / zem1
-    zem2 = _exp_transmittance(jnp.minimum(tau / mu0, 500.0))
+    zem2 = _exp_transmittance(jnp.minimum(tau / mu0, 500.0), use_tables)
     zep2 = 1.0 / zem2
 
     zdenr = zr4 * zep1 + zr5 * zem1
@@ -732,7 +734,7 @@ def cldprop_sw(inflag, iceflag, liqflag, cldfrac, tauc, ssac, asmc, fsfc,
 
 def spcvrt_sw(taug, taur, sflux, adjflux_band, mu0, alb_dir_band,
               alb_dif_band, cldfrac, tauc_b, ssac_b, asmc_b,
-              taua_b, ssaa_b, asma_b, icld):
+              taua_b, ssaa_b, asma_b, icld, use_tables=True):
     """Two-stream solver over all g-points (rrtmg_sw_spcvrt.f90).
 
     taug/taur: (nz, ncol, ngpt) bottom-up.  sflux: (ncol, ngpt).
@@ -783,30 +785,54 @@ def spcvrt_sw(taug, taur, sflux, adjflux_band, mu0, alb_dir_band,
     zgco_d = (zgco - zfo) / (1.0 - zfo)
 
     return _spcv_core(ztauc_d, zomcc_d, zgcc_d, ztauo_d, zomco_d, zgco_d,
-                      cf, mu0b, alb_dir_band, alb_dif_band, incflx, icld)
+                      cf, mu0b, alb_dir_band, alb_dif_band, incflx, icld,
+                      use_tables)
 
 
 def _spcv_core(ztauc_d, zomcc_d, zgcc_d, ztauo_d, zomco_d, zgco_d, cf,
-               mu0b, alb_dir_band, alb_dif_band, incflx, icld):
+               mu0b, alb_dir_band, alb_dif_band, incflx, icld,
+               use_tables=True):
     """Shared two-stream tail of spcvrt/spcvmc: reflectivities, direct
     beam, clear/cloudy combination, and the vrtqdr adding sweep.
 
     All optics are top-down (nz, ncol, ngpt), delta-scaled; cf is the
     cloud fraction per (layer, column, 1) [spcvrt] or the binary McICA
     subcolumn mask per (layer, column, ngpt) [spcvmc].
+
+    icld is STATIC: when 0, the total sky IS the clear sky and the
+    cloudy reflectivity pass plus the second adding sweep are skipped
+    entirely (XLA then dead-code-eliminates the unused cloud optics).
     """
     dtype = ztauc_d.dtype
     ncol = ztauc_d.shape[1]
+    clear_only = isinstance(icld, int) and icld == 0
+
     refc, refdc, trac, tradc = reftra_sw(
-        ztauc_d, zomcc_d, zgcc_d, mu0b, jnp.ones_like(ztauc_d, bool))
+        ztauc_d, zomcc_d, zgcc_d, mu0b, jnp.ones_like(ztauc_d, bool),
+        use_tables)
+    zdbtc = _exp_transmittance(ztauc_d / mu0b, use_tables)
+
+    ones_lvl = jnp.ones((1, ncol, NGPT), dtype)
+    ztdbtc = jnp.concatenate([ones_lvl, jnp.cumprod(zdbtc, axis=0)], axis=0)
+
+    albp = alb_dir_band[:, NGB]                       # (ncol, ngpt)
+    albd = alb_dif_band[:, NGB]
+
+    fd_c, fu_c = vrtqdr_sw(refc, refdc, trac, tradc, zdbtc, ztdbtc,
+                           albp, albd)
+
+    def total(f):
+        return jnp.einsum('lcg,cg->lc', f, incflx)[::-1]  # bottom-up
+
+    if clear_only:
+        fd = total(fd_c)
+        fu = total(fu_c)
+        return fd, fu, fd, fu
+
     active_cld = cf > 1e-12
     refo, refdo, trao, trado = reftra_sw(
-        ztauo_d, zomco_d, zgco_d, mu0b, active_cld)
-
-    zdbtc = _exp_transmittance(ztauc_d / mu0b)
-    zdbto = _exp_transmittance(ztauo_d / mu0b)
-    if icld == 0:
-        cf = jnp.zeros_like(cf)
+        ztauo_d, zomco_d, zgco_d, mu0b, active_cld, use_tables)
+    zdbto = _exp_transmittance(ztauo_d / mu0b, use_tables)
 
     zref = (1.0 - cf) * refc + cf * refo
     zrefd = (1.0 - cf) * refdc + cf * refdo
@@ -814,27 +840,17 @@ def _spcv_core(ztauc_d, zomcc_d, zgcc_d, ztauo_d, zomco_d, zgco_d, cf,
     ztrad = (1.0 - cf) * tradc + cf * trado
     zdbt = (1.0 - cf) * zdbtc + cf * zdbto
 
-    ones_lvl = jnp.ones((1, ncol, NGPT), dtype)
-    ztdbtc = jnp.concatenate([ones_lvl, jnp.cumprod(zdbtc, axis=0)], axis=0)
     ztdbt = jnp.concatenate([ones_lvl, jnp.cumprod(zdbt, axis=0)], axis=0)
 
-    albp = alb_dir_band[:, NGB]                       # (ncol, ngpt)
-    albd = alb_dif_band[:, NGB]
-
-    fd_c, fu_c = vrtqdr_sw(refc, refdc, trac, tradc, zdbtc, ztdbtc,
-                           albp, albd)
     fd_t, fu_t = vrtqdr_sw(zref, zrefd, ztra, ztrad, zdbt, ztdbt,
                            albp, albd)
-
-    def total(f):
-        return jnp.einsum('lcg,cg->lc', f, incflx)[::-1]  # bottom-up
 
     return total(fd_t), total(fu_t), total(fd_c), total(fu_c)
 
 
 def spcvmc_sw(taug, taur, sflux, adjflux_band, mu0, alb_dir_band,
               alb_dif_band, cldfmc_g, taucmc_g, ssacmc_g, asmcmc_g,
-              taua_b, ssaa_b, asma_b):
+              taua_b, ssaa_b, asma_b, use_tables=True):
     """McICA two-stream solver (rrtmg_sw_spcvmc.f90, icpr=1 path).
 
     Cloud optics are per-g-point stochastic subcolumns, already
@@ -884,7 +900,7 @@ def spcvmc_sw(taug, taur, sflux, adjflux_band, mu0, alb_dir_band,
 
     return _spcv_core(ztauc_d, zomcc_d, zgcc_d, ztauo_d, zomco_d, zgco_d,
                       cf, mu0b, alb_dir_band, alb_dif_band, incflx,
-                      icld=1)
+                      icld=1, use_tables=use_tables)
 
 
 def earth_sun(day_of_year):
@@ -979,7 +995,7 @@ def rrtmg_sw_fluxes(play, plev, tlay, h2ovmr, o3vmr, co2vmr, ch4vmr,
                     cldfrac, cloud_optics, aerosol_optics,
                     adjes, day_of_year, scon, isolvar,
                     solar_config, grav, avogadro, cpdair, icld,
-                    per_g_cloud=False, cloud_g=None):
+                    per_g_cloud=False, cloud_g=None, use_tables=True):
     """Full shortwave driver (rrtmg_sw_rad.nomcica.f90 rrtmg_sw).
 
     Pressures in mb (play (nz, ncol), plev (nz+1, ncol), bottom-up); gas
@@ -1031,12 +1047,12 @@ def rrtmg_sw_fluxes(play, plev, tlay, h2ovmr, o3vmr, co2vmr, ch4vmr,
         fd, fu, fdc, fuc = spcvmc_sw(
             taug, taur, sflux, adjflux_band, cossza, alb_dir, alb_dif,
             cldfmc_g, taucmc_g, ssacmc_g, asmcmc_g,
-            taua_b, ssaa_b, asma_b)
+            taua_b, ssaa_b, asma_b, use_tables=use_tables)
     else:
         fd, fu, fdc, fuc = spcvrt_sw(
             taug, taur, sflux, adjflux_band, cossza, alb_dir, alb_dif,
             cldfrac, tauc_b, ssac_b, asmc_b, taua_b, ssaa_b, asma_b,
-            icld)
+            icld, use_tables=use_tables)
 
     heatfac = grav * 86400.0 * 1.0e-5 / (cpdair * 1.0e-3)
     net = fd - fu

@@ -137,19 +137,25 @@ def main():
     t = bench_fn(sw_taumol, cs_sw)
     log('SW taumol:        {:7.2f} ms'.format(t * 1e3))
 
-    @jax.jit
-    def sw_spcvrt(taug_sw, taur_sw, sflux):
+    import functools
+
+    @functools.partial(jax.jit, static_argnums=(3, 4))
+    def sw_spcvrt(taug_sw, taur_sw, sflux, icld, use_tables):
         zero_b = jnp.zeros((nz, ncol, 14), dtype)
         one_b = jnp.ones((nz, ncol, 14), dtype)
         alb_b = jnp.stack([alb] * 14, axis=-1)
         return S.spcvrt_sw(taug_sw, taur_sw, sflux,
                            jnp.ones(14, dtype), mu0, alb_b, alb_b,
                            zero, zero_b, one_b, zero_b,
-                           zero_b, one_b, zero_b, icld=0)
+                           zero_b, one_b, zero_b, icld=icld,
+                           use_tables=use_tables)
 
-    out = sw_spcvrt(taug_sw, taur_sw, sflux)
-    t = bench_fn(sw_spcvrt, taug_sw, taur_sw, sflux)
-    log('SW spcvrt:        {:7.2f} ms'.format(t * 1e3))
+    for icld, ut, label in ((0, True, 'tables, icld=0'),
+                            (0, False, 'exp,    icld=0'),
+                            (1, False, 'exp,    icld=1')):
+        out = sw_spcvrt(taug_sw, taur_sw, sflux, icld, ut)
+        t = bench_fn(sw_spcvrt, taug_sw, taur_sw, sflux, icld, ut)
+        log('SW spcvrt ({}): {:7.2f} ms'.format(label, t * 1e3))
 
     log('done (fused-driver totals come from bench.py: 8192 col / 1.5 s)')
 
