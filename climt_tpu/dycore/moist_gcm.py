@@ -125,7 +125,7 @@ def _make_radiation(dycore, nz, solar_constant=1367.0, albedo=0.27,
                 zero_c, o2_c, alb, alb, alb, alb, mu0_c,
                 zero_c, nocloud, noaer,
                 sw_scale, -1, 0.0, -1, solar_config,
-                _G, _AVOGADRO, _CPD, icld=0)
+                _G, _AVOGADRO, _CPD, icld=0, use_tables=False)
             daym = day_c[None, :]
             sw_up = jnp.where(daym, sw_up, 0.0)
             sw_dn = jnp.where(daym, sw_dn, 0.0)
@@ -276,12 +276,18 @@ def _make_physics(dycore, nz, dt,
 def build_moist_gcm(nlon=128, nlat=64, nz=28, timestep=600.0,
                     number_of_damped_levels=5, ocean_depth=5.0,
                     dtype=jnp.float32, fft_impl='fft', rad_every=6,
-                    rad_col_chunk=8192, conserve_water=True):
+                    rad_col_chunk=8192, conserve_water=True, mesh=None):
     """Return (dycore, init_fn, step_fn, run_fn) for the full moist GCM.
 
     run_fn(carry, n_steps) -> carry; carry = (prev, now, grids, aux, k0)
     where k0 is the global step index (drives the radiation cadence and
     the diurnal cycle).
+
+    mesh: optional ``jax.sharding.Mesh`` with a 'lat' axis — the
+    production multi-chip layout: grid fields sharded over latitude
+    bands, spectral state m-sharded through ``parallel.DistributedSHT``
+    (all_to_all transposes inside the fused step), column physics local
+    to each device's latitude band.
 
     conserve_water: spectral (advective-form) moisture transport plus
     negative-value clipping silently creates/destroys water; when True, a
@@ -296,7 +302,7 @@ def build_moist_gcm(nlon=128, nlat=64, nz=28, timestep=600.0,
     dycore = SpectralDycore(
         nlon, nlat, nz, ak, bk, timestep=timestep,
         number_of_damped_levels=number_of_damped_levels, dtype=dtype,
-        fft_impl=fft_impl)
+        fft_impl=fft_impl, mesh=mesh)
 
     em_params = dict(
         minorig=0, elcrit=0.0011, tlcrit=-55.0, entp=1.5, sigd=0.05,

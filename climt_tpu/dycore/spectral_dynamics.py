@@ -51,16 +51,36 @@ class SpectralDycore:
                  asselin_strength=0.05,
                  rd=287.0, cpd=1004.64, g=9.80665,
                  radius=6.371e6, omega=7.292e-5,
-                 dtype=jnp.float64, fft_impl='fft'):
+                 dtype=jnp.float64, fft_impl='fft',
+                 mesh=None, dist_axis='lat'):
         """``ak``, ``bk`` are the interface hybrid coefficients in
         *bottom-up* order with p_interface = ak + bk (ps - p_top) as produced
         by climt_tpu.get_grid; they are converted to the internal top-down
-        A + B ps form here."""
+        A + B ps form here.
+
+        ``mesh``: optional ``jax.sharding.Mesh`` with a ``dist_axis``
+        axis.  When given, every spectral transform runs through
+        ``parallel.DistributedSHT`` — grid fields sharded over latitude
+        bands, spectral state SHARDED over m (padded to M_padded) with
+        one all_to_all transpose per transform — and the semi-implicit
+        algebra (per-n implicit solves, hyperdiffusion, Asselin filter)
+        is wavenumber-local, so the full step scales without replicating
+        spectral coefficients.  Numerics are identical to the
+        single-device path (tests/test_multichip.py asserts f64 parity).
+        """
         self.nlon, self.nlat, self.nz = nlon, nlat, nz
-        self.sht = SphericalHarmonicTransform(
+        self.mesh = mesh
+        base_sht = SphericalHarmonicTransform(
             nlon, nlat, truncation, radius=radius, dtype=dtype,
             fft_impl=fft_impl)
+        if mesh is not None:
+            from ..parallel.dist_sht import DistributedSHT
+            self.sht = DistributedSHT(base_sht, mesh, axis=dist_axis)
+        else:
+            self.sht = base_sht
         T = self.sht.truncation
+        # number of spectral m-rows (M_padded when distributed)
+        M_rows = self.sht.n_2d.shape[0]
         self.dtype = dtype
         self.rd, self.cpd, self.g = rd, cpd, g
         self.kappa = rd / cpd
@@ -158,7 +178,7 @@ class SpectralDycore:
         nmax = max(T, 1)
         k_n = ((n * (n + 1.0) / (nmax * (nmax + 1.0))) ** 4
                / hyperdiffusion_timescale)
-        k2d = np.broadcast_to(k_n[None, :], (T + 1, T + 1))
+        k2d = np.broadcast_to(k_n[None, :], (M_rows, T + 1))
         self.hyperdiff_factor = jnp.asarray(
             1.0 / (1.0 + 2.0 * timestep * k2d), dtype=dtype)
         # startup (single forward step) factor uses dt, not 2 dt

@@ -82,3 +82,60 @@ def test_m_padding_handles_non_divisible_truncation():
         spec = np.asarray(dist.unpad_spec(
             dist.analyze(jax.device_put(grid, dist.grid_sharding()))))
     np.testing.assert_allclose(spec, ref, rtol=1e-12, atol=1e-14)
+
+
+def test_gradient_matches_single_device():
+    mesh, sht, dist, grid = _setup()
+    spec = sht.analyze(grid)
+    rx, ry = sht.gradient(spec)
+    spec_sharded = jax.device_put(dist.pad_spec(spec),
+                                  dist.spec_sharding())
+    with mesh:
+        gx, gy = dist.gradient(spec_sharded)
+    np.testing.assert_allclose(np.asarray(gx), np.asarray(rx),
+                               rtol=1e-10, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(gy), np.asarray(ry),
+                               rtol=1e-10, atol=1e-12)
+
+
+def test_uv_and_vort_div_match_single_device():
+    """Full vector-calculus loop: uv_from_vort_div and vort_div_analysis
+    through the all_to_all path equal the single-device operators."""
+    mesh, sht, dist, grid = _setup()
+    rng = np.random.RandomState(7)
+    vort = sht.filter_spec(sht.analyze(jnp.asarray(rng.randn(*grid.shape))))
+    div = sht.filter_spec(sht.analyze(jnp.asarray(rng.randn(*grid.shape))))
+    u_ref, v_ref = sht.uv_from_vort_div(vort, div)
+    c_ref, d_ref = sht.vort_div_analysis(u_ref, v_ref)
+
+    vs = jax.device_put(dist.pad_spec(vort), dist.spec_sharding())
+    ds = jax.device_put(dist.pad_spec(div), dist.spec_sharding())
+    with mesh:
+        u, v = dist.uv_from_vort_div(vs, ds)
+        c, d = dist.vort_div_analysis(u, v)
+    np.testing.assert_allclose(np.asarray(u), np.asarray(u_ref),
+                               rtol=1e-10, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(v), np.asarray(v_ref),
+                               rtol=1e-10, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(dist.unpad_spec(c)),
+                               np.asarray(c_ref), rtol=1e-9, atol=1e-11)
+    np.testing.assert_allclose(np.asarray(dist.unpad_spec(d)),
+                               np.asarray(d_ref), rtol=1e-9, atol=1e-11)
+
+
+def test_rank2_fields_roundtrip():
+    """2-D (single-level) fields — the dycore's lnps path — promote
+    through the rank-3 shard_map layout transparently."""
+    mesh, sht, dist, grid = _setup()
+    f2 = grid[0]
+    ref = sht.analyze(f2)
+    with mesh:
+        spec = dist.analyze(jax.device_put(
+            f2, jax.NamedSharding(mesh, jax.P('lat', None))))
+        assert spec.shape == (dist.M_padded, sht.truncation + 1)
+        back = dist.synthesize(spec)
+    np.testing.assert_allclose(np.asarray(dist.unpad_spec(spec[None])[0]),
+                               np.asarray(ref), rtol=1e-12, atol=1e-14)
+    np.testing.assert_allclose(
+        np.asarray(back), np.asarray(sht.synthesize(ref)),
+        rtol=1e-12, atol=1e-14)

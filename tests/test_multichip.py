@@ -86,3 +86,57 @@ def test_lon_sharded_matches_single_device():
             np.asarray, jax.jit(run)(carry_sharded))
 
     _tree_allclose(out, ref, rtol=1e-9, atol=1e-12)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason='needs 8 devices')
+def test_m_sharded_spectral_matches_single_device():
+    """The PRODUCTION multi-chip layout — spectral state m-sharded via
+    DistributedSHT (all_to_all transposes inside the fused step) — must
+    reproduce the replicated-spectral single-device run at f64.
+
+    This is the layout dryrun_multichip exercises and the one the model
+    needs at T170+, where replicating spectral coefficients stops
+    scaling (VERDICT r3 item 3)."""
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+    from climt_tpu.dycore.moist_gcm import build_moist_gcm
+
+    nlon, nlat, nz = 32, 16, 8
+    ref_model = build_moist_gcm(
+        nlon=nlon, nlat=nlat, nz=nz, timestep=600.0, dtype=jnp.float64,
+        fft_impl='matmul')
+
+    mesh = Mesh(np.array(jax.devices()[:8]).reshape(8, 1), ('lat', 'lon'))
+    dist_model = build_moist_gcm(
+        nlon=nlon, nlat=nlat, nz=nz, timestep=600.0, dtype=jnp.float64,
+        fft_impl='matmul', mesh=mesh)
+
+    run = _run_n(ref_model[2], 3)
+    ref = jax.jit(run)(ref_model[1]())
+
+    spec3 = NamedSharding(mesh, P(None, 'lat', None))
+    spec2 = NamedSharding(mesh, P('lat', None))
+    grid3 = NamedSharding(mesh, P(None, 'lat', None))
+    grid2 = NamedSharding(mesh, P('lat', None))
+    prev, now, grids, aux, k0 = dist_model[1]()
+    prev = {k: jax.device_put(v, spec3 if v.ndim == 3 else spec2)
+            for k, v in prev.items()}
+    now = {k: jax.device_put(v, spec3 if v.ndim == 3 else spec2)
+           for k, v in now.items()}
+    grids = {k: jax.device_put(v, grid3 if v.ndim == 3 else grid2)
+             for k, v in grids.items()}
+    aux = {k: jax.device_put(v, grid3 if v.ndim == 3 else grid2)
+           for k, v in aux.items()}
+
+    run_d = _run_n(dist_model[2], 3)
+    out = jax.jit(run_d)((prev, now, grids, aux, k0))
+
+    # spectral shapes differ (m-padding): compare in grid space
+    for name in ('vort', 'div', 'T', 'q', 'lnps'):
+        for slot in (0, 1):
+            a = np.asarray(ref_model[0].sht.synthesize(ref[slot][name]))
+            b = np.asarray(dist_model[0].sht.synthesize(out[slot][name]))
+            np.testing.assert_allclose(b, a, rtol=1e-8, atol=1e-10,
+                                       err_msg=name)
+    _tree_allclose(jax.tree_util.tree_map(np.asarray, out[3]),
+                   jax.tree_util.tree_map(np.asarray, ref[3]),
+                   rtol=1e-8, atol=1e-10)
