@@ -2,12 +2,14 @@
 
 Shortwave runs the true 112-g-point correlated-k core and is golden-matched
 against the reference caches in test_golden_components.py
-(TestRRTMGShortwave).  Longwave remains the documented band model — the
-reference mirror ships no LW k-tables (rrtmg_lw_k_g.f90 is absent from
-/root/reference/climt/_lib/rrtmg_lw/) and this environment has no network
-or Fortran compiler to regenerate them, so exact LW parity is unattainable
-here; LW is covered by physical invariants, API/option behavior, and the
-reference's logging advisories.
+(TestRRTMGShortwave).  Longwave runs the full 140-g-point pipeline
+(inatm/setcoef/taumol/cldprop/rtrn) on surrogate-calibrated k-tables —
+the reference mirror ships no LW k-tables (rrtmg_lw_k_g.f90 is absent
+from /root/reference/climt/_lib/rrtmg_lw/) and this environment has no
+network or Fortran compiler to regenerate them, so exact LW parity is
+unattainable here (docs/RRTMG_LW_STATUS.md); LW is additionally covered
+by physical invariants, API/option behavior, and the reference's logging
+advisories.
 """
 
 import logging
@@ -170,25 +172,34 @@ class TestRRTMGShortwave:
 
 
 def test_energy_conservation_two_stream():
-    """Conservative scattering layer: no absorption anywhere."""
+    """Conservative scattering through the production SW solver: a
+    non-absorbing atmosphere (omega=1) must pass all incident energy
+    through to the surface budget (reftra_sw + vrtqdr_sw adding)."""
     import jax.numpy as jnp
-    from climt_tpu.components.rrtmg.gas_optics import delta_two_stream
-    nz, ncol = 10, 3
-    tau = jnp.full((nz, ncol), 0.5)
-    omega = jnp.full((nz, ncol), 1.0 - 1e-9)
-    g_asym = jnp.full((nz, ncol), 0.6)
-    mu0 = jnp.full((ncol,), 0.6)
-    alb = jnp.full((ncol,), 0.3)
-    incident = jnp.full((ncol,), 1000.0)
-    down, up = delta_two_stream(tau, omega, g_asym, mu0, alb, alb,
-                                incident)
-    # absorbed in atmosphere = net in at TOA - net in at surface ~ 0
-    net_toa = np.asarray(down[-1] - up[-1])
-    net_sfc = np.asarray(down[0] - up[0])
+    from climt_tpu.components.rrtmg.sw_spectral import (
+        reftra_sw, vrtqdr_sw, _exp_transmittance)
+    nz, ncol, ngpt = 10, 3, 4
+    shape = (nz, ncol, ngpt)
+    tau = jnp.full(shape, 0.5)
+    omega = jnp.full(shape, 1.0 - 1e-9)
+    g_asym = jnp.full(shape, 0.6)
+    mu0 = jnp.full((1, ncol, 1), 0.6)
+    alb = jnp.full((ncol, ngpt), 0.3)
+    ref, refd, tra, trad = reftra_sw(tau, omega, g_asym, mu0,
+                                     jnp.ones(shape, bool),
+                                     use_tables=False)
+    dbt = _exp_transmittance(tau / mu0, use_tables=False)
+    tdbt = jnp.concatenate(
+        [jnp.ones((1, ncol, ngpt)), jnp.cumprod(dbt, axis=0)], axis=0)
+    fd, fu = vrtqdr_sw(ref, refd, tra, trad, dbt, tdbt, alb, alb)
+    # layers conserve: net flux into the column at TOA equals the net
+    # absorbed at the surface (no atmospheric absorption at omega=1)
+    net_toa = np.asarray(fd[0] - fu[0])
+    net_sfc = np.asarray(fd[-1] - fu[-1])
     assert (np.abs(net_toa - net_sfc) / net_toa < 5e-3).all()
     # surface energy balance: up = albedo * down
-    np.testing.assert_allclose(np.asarray(up[0]),
-                               np.asarray(0.3 * down[0]), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(fu[-1]),
+                               np.asarray(0.3 * fd[-1]), rtol=1e-5)
 
 
 class TestMcicaStatistics:
