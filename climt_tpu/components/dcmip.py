@@ -20,6 +20,7 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..core.base_components import DiagnosticComponent
 from ..core.constants import get_constant
@@ -36,12 +37,12 @@ _T0 = 288.0
 _ETA0 = 0.252
 _RADIUS = 10.0
 _PERT_AMPL = 1.0
-_PERT_LON = jnp.deg2rad(20.0)
-_PERT_LAT = jnp.deg2rad(40.0)
+_PERT_LON = np.deg2rad(20.0)   # plain numpy: importing the
+_PERT_LAT = np.deg2rad(40.0)   # package must not init the XLA backend
 _DELTA_T = 480000.0
 _GAMMA_4 = 0.005
 _Q0_4 = 0.021
-_LAT_HW = 2.0 * jnp.pi / 9.0
+_LAT_HW = 2.0 * np.pi / 9.0
 _P_HW = 34000.0
 
 
@@ -111,8 +112,8 @@ _Q0_5 = 0.021
 _GAMMA_5 = 0.007
 _TS0 = 302.15
 _P00 = 101500.0
-_CEN_LAT = jnp.deg2rad(10.0)
-_CEN_LON = jnp.deg2rad(180.0)
+_CEN_LAT = np.deg2rad(10.0)
+_CEN_LON = np.deg2rad(180.0)
 _ZQ1 = 3000.0
 _ZQ2 = 8000.0
 _EXPPR = 1.5

@@ -96,7 +96,20 @@ class GFSDynamicalCore(Stepper):
                  damping_timescale=2.0 * 86400.0,
                  truncation=None,
                  asselin_strength=0.05,
-                 moist=True, **kwargs):
+                 moist=True, moisture_advection='spectral', **kwargs):
+        """``moisture_advection``: 'spectral' (cache-parity default) or
+        'fv' (conservative grid-space transport).  Registered tracers
+        (core/tracers.py) are ALWAYS advected in grid space with the
+        flux-form FV operator on the dycore's diagnosed mass fluxes —
+        the reference dycore advected every registered tracer
+        (/root/reference/tests/test_components.py:23,87-89)."""
+        from ..core.tracers import TracerPacker
+        self._moisture_advection = moisture_advection
+        self._tracer_packer = TracerPacker(
+            self, ['tracer', 'mid_levels', 'lat', 'lon'])
+        self._fv = None
+        self._pending_tracers = None
+        self._advected_tracers = None
         self._components = list(tendency_component_list or [])
         for comp in self._components:
             if not isinstance(comp, (TendencyComponent,
@@ -152,6 +165,7 @@ class GFSDynamicalCore(Stepper):
             number_of_damped_levels=self._n_damped,
             damping_timescale=self._damping_timescale,
             asselin_strength=self._asselin,
+            moisture_advection=self._moisture_advection,
             rd=get_constant('gas_constant_of_dry_air', 'J/kg/degK'),
             cpd=get_constant(
                 'heat_capacity_of_dry_air_at_constant_pressure',
@@ -269,7 +283,22 @@ class GFSDynamicalCore(Stepper):
             u_out = u_out + dt * du_t
             v_out = v_out + dt * dv_t
             T_out = T_out + dt * sht.synthesize(sht.analyze(phys['dT']))
-            q_out = q_out + dt * sht.synthesize(sht.analyze(phys['dq']))
+            if dyc.fv is not None:
+                q_out = q_out + dt * phys['dq']   # grid-space moisture
+            else:
+                q_out = q_out + dt * sht.synthesize(
+                    sht.analyze(phys['dq']))
+
+        # registered tracers: conservative grid-space FV transport on
+        # the input state's diagnosed mass fluxes over dt
+        if self._pending_tracers is not None:
+            u_c, v_c, dp_c, mdot_c = dyc.diagnose_mass_fluxes(spec_in)
+            fv = self._ensure_fv(dt)
+            packed_td = jnp.asarray(self._pending_tracers)[:, ::-1]
+            adv = jax.vmap(
+                lambda tr: fv.advect(tr, dp_c, u_c, v_c, mdot_c, dt))(
+                packed_td)
+            self._advected_tracers = np.asarray(adv[:, ::-1])
 
         q_new = jnp.clip(q_out, 0.0, None) if self._moist else q_out
         outputs = {
@@ -285,6 +314,16 @@ class GFSDynamicalCore(Stepper):
         }
         return {}, outputs
 
+    def _ensure_fv(self, dt):
+        if self._fv is None:
+            from ..ops.fv_advection import FVAdvection
+            dyc = self._dycore
+            self._fv = FVAdvection(
+                np.asarray(dyc.sht.mu), np.asarray(dyc.sht.weights),
+                dyc.nlon, dyc.radius, dt_max=2.0 * dt,
+                dtype=dyc.dtype)
+        return self._fv
+
     def __call__(self, state, timestep):
         # stash the labeled state so wrapped physics can be called with it
         self._phys_state = state
@@ -295,11 +334,25 @@ class GFSDynamicalCore(Stepper):
                 'mid_levels', 'lat', 'lon').shape
             self._phys_for_state = self._physics_tendencies(
                 state, timestep, shape)
+        # pack registered tracers (sympl tracer contract, SURVEY.md §2.1)
+        self._pending_tracers = None
+        self._advected_tracers = None
+        packer = self._tracer_packer
+        if packer.tracer_names:
+            self._pending_tracers = packer.pack(state)
         self._restoring = True
         try:
             diagnostics, new_state = super().__call__(state, timestep)
         finally:
             self._restoring = False
+        if self._advected_tracers is not None:
+            tracers = packer.unpack(self._advected_tracers, state)
+            # the dycore's own prognostics (e.g. specific_humidity, if
+            # someone registered it) keep the dycore's update
+            for name in list(tracers):
+                if name in new_state:
+                    tracers.pop(name)
+            new_state.update(tracers)
         # wrapped components' diagnostics pass through (reference dycore
         # behavior, see diagnostic_properties)
         merged = dict(self._collected_diagnostics)

@@ -276,7 +276,8 @@ def _make_physics(dycore, nz, dt,
 def build_moist_gcm(nlon=128, nlat=64, nz=28, timestep=600.0,
                     number_of_damped_levels=5, ocean_depth=5.0,
                     dtype=jnp.float32, fft_impl='fft', rad_every=6,
-                    rad_col_chunk=8192, conserve_water=True, mesh=None):
+                    rad_col_chunk=8192, conserve_water=True, mesh=None,
+                    moisture_advection='spectral'):
     """Return (dycore, init_fn, step_fn, run_fn) for the full moist GCM.
 
     run_fn(carry, n_steps) -> carry; carry = (prev, now, grids, aux, k0)
@@ -297,12 +298,20 @@ def build_moist_gcm(nlon=128, nlat=64, nz=28, timestep=600.0,
     (evaporation - precipitation) — the same role as the mass fixer in
     the GFS's grid-space tracer advection.  Closure is asserted in
     tests/test_dycore_multistep.py.
+
+    moisture_advection: 'spectral' or 'fv' — with 'fv' moisture moves by
+    the conservative grid-space flux-form operator
+    (ops/fv_advection.py): LOCALLY conservative and positive-definite,
+    so the global fixer is unnecessary and disabled.
     """
     ak, bk = hybrid_sigma_pressure_coefficients(nz + 1, 1e5, 20.0)
     dycore = SpectralDycore(
         nlon, nlat, nz, ak, bk, timestep=timestep,
         number_of_damped_levels=number_of_damped_levels, dtype=dtype,
-        fft_impl=fft_impl, mesh=mesh)
+        fft_impl=fft_impl, mesh=mesh,
+        moisture_advection=moisture_advection)
+    if moisture_advection == 'fv':
+        conserve_water = False        # FV is conservative by construction
 
     em_params = dict(
         minorig=0, elcrit=0.0011, tlcrit=-55.0, entp=1.5, sigd=0.05,

@@ -52,7 +52,8 @@ class SpectralDycore:
                  rd=287.0, cpd=1004.64, g=9.80665,
                  radius=6.371e6, omega=7.292e-5,
                  dtype=jnp.float64, fft_impl='fft',
-                 mesh=None, dist_axis='lat'):
+                 mesh=None, dist_axis='lat',
+                 moisture_advection='spectral', fv_max_wind=120.0):
         """``ak``, ``bk`` are the interface hybrid coefficients in
         *bottom-up* order with p_interface = ak + bk (ps - p_top) as produced
         by climt_tpu.get_grid; they are converted to the internal top-down
@@ -67,6 +68,17 @@ class SpectralDycore:
         is wavenumber-local, so the full step scales without replicating
         spectral coefficients.  Numerics are identical to the
         single-device path (tests/test_multichip.py asserts f64 parity).
+
+        ``moisture_advection``: 'spectral' (advective-form, the cached
+        reference behavior) or 'fv' — conservative grid-space flux-form
+        van Leer transport (ops/fv_advection.py) on the dycore's
+        diagnosed mass fluxes, the reference GFS's FV/semi-Lagrangian
+        moisture capability (SURVEY.md §2.4).  In 'fv' mode the state's
+        'q' entry is a GRID array (nz, nlat, nlon) — positive-definite,
+        locally conservative, no spectral ringing and no global fixer —
+        and under a mesh the meridional halos ride lax.ppermute
+        (parallel/halo.py).  ``fv_max_wind`` sizes the static polar
+        zonal substep counts (CFL bound, not an accuracy knob).
         """
         self.nlon, self.nlat, self.nz = nlon, nlat, nz
         self.mesh = mesh
@@ -188,6 +200,22 @@ class SpectralDycore:
         # surface geopotential (grid); set via set_surface_geopotential
         self.phi_s = jnp.zeros((nlat, nlon), dtype=dtype)
 
+        # optional grid-space FV moisture transport
+        if moisture_advection not in ('spectral', 'fv'):
+            raise ValueError(moisture_advection)
+        self.moisture_advection = moisture_advection
+        self.fv = None
+        if moisture_advection == 'fv':
+            from ..ops.fv_advection import FVAdvection
+            halo = None
+            if mesh is not None:
+                from ..parallel.halo import make_lat_halo
+                halo = make_lat_halo(mesh, dist_axis)
+            self.fv = FVAdvection(
+                np.asarray(self.sht.mu), np.asarray(self.sht.weights),
+                nlon, radius, dt_max=2.0 * timestep, dtype=dtype,
+                max_wind=fv_max_wind, halo_exchange=halo)
+
         # top-of-model Rayleigh damping profile (per level, 1/s)
         damp = np.zeros(nz)
         for lev in range(number_of_damped_levels):
@@ -214,7 +242,8 @@ class SpectralDycore:
             'vort': vort,
             'div': div,
             'T': self.sht.analyze(T),
-            'q': self.sht.analyze(q),
+            # 'fv' carries moisture in grid space (see __init__)
+            'q': q if self.fv is not None else self.sht.analyze(q),
             'lnps': self.sht.analyze(lnps),
         }
 
@@ -224,7 +253,8 @@ class SpectralDycore:
             'u': u,
             'v': v,
             'T': self.sht.synthesize(spec['T']),
-            'q': self.sht.synthesize(spec['q']),
+            'q': spec['q'] if self.fv is not None
+                else self.sht.synthesize(spec['q']),
             'lnps': self.sht.synthesize(spec['lnps']),
         }
 
@@ -255,7 +285,8 @@ class SpectralDycore:
         vort_g = sht.synthesize(spec['vort'])
         div_g = sht.synthesize(spec['div'])
         T_g = sht.synthesize(spec['T'])
-        q_g = sht.synthesize(spec['q'])
+        q_g = spec['q'] if self.fv is not None else sht.synthesize(
+            spec['q'])
         lnps_g = sht.synthesize(spec['lnps'])
         ps = jnp.exp(lnps_g)
 
@@ -336,11 +367,18 @@ class SpectralDycore:
         if phys is not None:
             dT_dt_grid = dT_dt_grid + phys['dT']
 
-        # moisture
-        dq_dx, dq_dy = sht.gradient(spec['q'])
-        dq_dt_grid = -u * dq_dx - v * dq_dy - vadv(q_g)
-        if phys is not None:
-            dq_dt_grid = dq_dt_grid + phys['dq']
+        # moisture: spectral advective form, or (fv mode) transport is
+        # done in step() by the flux-form operator — only the physics
+        # source remains here, in grid space
+        if self.fv is not None:
+            q_tend = phys['dq'] if phys is not None else (
+                jnp.zeros_like(q_g))
+        else:
+            dq_dx, dq_dy = sht.gradient(spec['q'])
+            dq_dt_grid = -u * dq_dx - v * dq_dy - vadv(q_g)
+            if phys is not None:
+                dq_dt_grid = dq_dt_grid + phys['dq']
+            q_tend = sht.analyze(dq_dt_grid)
 
         dlnps_spec = sht.analyze(dlnps_dt)
         if phys is not None and 'dlnps' in phys:
@@ -350,9 +388,11 @@ class SpectralDycore:
             'vort': dvort_dt,
             'div': ddiv_dt,
             'T': sht.analyze(dT_dt_grid),
-            'q': sht.analyze(dq_dt_grid),
+            'q': q_tend,
             'lnps': dlnps_spec,
         }
+        if self.fv is not None:
+            tend['mdot'] = mdot            # for the FV vertical pass
         grids = {'u': u, 'v': v, 'T': T_g, 'q': q_g, 'ps': ps,
                  'p_half': p_half, 'dp': dp}
         return tend, grids
@@ -415,7 +455,15 @@ class SpectralDycore:
         two_dt = 2.0 * dt
         # explicit update
         T_expl = prev['T'] + two_dt * tend['T']
-        q_expl = prev['q'] + two_dt * tend['q']
+        if self.fv is not None:
+            # conservative flux-form transport from t-dt over 2 dt on the
+            # center-time winds/mass fluxes, plus the physics source
+            dp_prev = self._dp_of(prev['lnps'])
+            q_expl = self.fv.advect(
+                prev['q'], dp_prev, now_grids['u'], now_grids['v'],
+                tend['mdot'], two_dt) + two_dt * tend['q']
+        else:
+            q_expl = prev['q'] + two_dt * tend['q']
         lnps_expl = prev['lnps'] + two_dt * tend['lnps']
         vort_new = prev['vort'] + two_dt * tend['vort']
         D_expl = prev['div'] + two_dt * tend['div']
@@ -446,8 +494,11 @@ class SpectralDycore:
 
         new = {'vort': vort_new, 'div': D_new, 'T': T_new, 'q': q_new,
                'lnps': lnps_new}
-        # hyperdiffusion (implicit, applied to the new state)
-        for key in ('vort', 'div', 'T', 'q'):
+        # hyperdiffusion (implicit, applied to the new state); grid-space
+        # FV moisture needs none (the monotone limiter is the diffusion)
+        spectral_keys = ('vort', 'div', 'T') + (
+            ('q',) if self.fv is None else ())
+        for key in spectral_keys:
             new[key] = new[key] * self.hyperdiff_factor[None]
 
         # Robert-Asselin filter on the center state
@@ -457,6 +508,30 @@ class SpectralDycore:
                 new[key] - 2.0 * now[key] + prev[key])
         return filtered, new, now_grids
 
+    def diagnose_mass_fluxes(self, spec):
+        """(u, v, dp, mdot) at the state's time level, for external
+        tracer transport (GFSDynamicalCore routes registered tracers
+        through ops/fv_advection on these fluxes).  Same discrete
+        operators as explicit_tendencies."""
+        sht = self.sht
+        u, v = sht.uv_from_vort_div(spec['vort'], spec['div'])
+        div_g = sht.synthesize(spec['div'])
+        ps = jnp.exp(sht.synthesize(spec['lnps']))
+        dlnps_dx, dlnps_dy = sht.gradient(spec['lnps'])
+        p_half, dp, _, _ = self._vertical_structures(ps)
+        v_dot = u * dlnps_dx[None] + v * dlnps_dy[None]
+        S = dp * div_g + ps[None] * self.dB[:, None, None] * v_dot
+        S_cum = jnp.cumsum(S, axis=0)
+        mdot = (self.B[1:-1, None, None] * S_cum[-1][None]
+                - S_cum[:-1])
+        return u, v, dp, mdot
+
+    def _dp_of(self, lnps_spec):
+        """Layer thicknesses (nz, nlat, nlon) of a spectral lnps."""
+        ps = jnp.exp(self.sht.synthesize(lnps_spec))
+        p_half = self.A[:, None, None] + self.B[:, None, None] * ps[None]
+        return p_half[1:] - p_half[:-1]
+
     def grids_of(self, spec):
         """Grid fields of a spectral state (for seeding lagged physics)."""
         sht = self.sht
@@ -464,14 +539,35 @@ class SpectralDycore:
         ps = jnp.exp(sht.synthesize(spec['lnps']))
         p_half, dp, _, _ = self._vertical_structures(ps)
         return {'u': u, 'v': v, 'T': sht.synthesize(spec['T']),
-                'q': sht.synthesize(spec['q']), 'ps': ps,
+                'q': spec['q'] if self.fv is not None
+                else sht.synthesize(spec['q']), 'ps': ps,
                 'p_half': p_half, 'dp': dp}
 
     def initial_step(self, now, phys=None, dt=None, physics_fn=None):
         """Forward (Euler) start: returns (now, state at t+dt) using a
         half-then-full step for stability."""
         dt = self.dt if dt is None else dt
-        tend, _ = self.explicit_tendencies(now, phys, physics_fn)
+        tend, grids0 = self.explicit_tendencies(now, phys, physics_fn)
+        if self.fv is not None:
+            mdot0 = tend.pop('mdot')
+            dp0 = self._dp_of(now['lnps'])
+            q_half = self.fv.advect(
+                now['q'], dp0, grids0['u'], grids0['v'], mdot0,
+                0.5 * dt) + 0.5 * dt * tend['q']
+            half = {k: now[k] + 0.5 * dt * tend[k] for k in now
+                    if k != 'q'}
+            half['q'] = q_half
+            tend2, grids_h = self.explicit_tendencies(
+                half, phys, physics_fn)
+            mdot_h = tend2.pop('mdot')
+            q_new = self.fv.advect(
+                now['q'], dp0, grids_h['u'], grids_h['v'], mdot_h,
+                dt) + dt * tend2['q']
+            new = {k: now[k] + dt * tend2[k] for k in now if k != 'q'}
+            new['q'] = q_new
+            for key in ('vort', 'div', 'T'):
+                new[key] = new[key] * self.hyperdiff_factor_start[None]
+            return now, new
         half = {k: now[k] + 0.5 * dt * tend[k] for k in now}
         tend2, _ = self.explicit_tendencies(half, phys, physics_fn)
         new = {k: now[k] + dt * tend2[k] for k in now}

@@ -117,9 +117,10 @@ class TestMoistGCMBudgets:
         # evaporation (lhf/Lv) minus convective+large-scale precip
         lhf = jnp.asarray(np.asarray(diag['lhf']))
         evap = jnp.sum(w[0] * lhf / 2.5e6)
-        precip = jnp.sum(w[0] * (jnp.asarray(np.asarray(
-            diag['conv_precip'])) + jnp.asarray(np.asarray(
-                diag['ls_precip']))))
+        # convective precip is mm/day, large-scale is m/s -> kg/m^2/s
+        precip = jnp.sum(w[0] * (
+            jnp.asarray(np.asarray(diag['conv_precip'])) / 86400.0
+            + jnp.asarray(np.asarray(diag['ls_precip'])) * 1000.0))
         g = 9.80665
         # tw units: Pa * kg/kg; source in kg/m^2/s * g -> Pa/s
         src = float((evap - precip) * g)

@@ -140,3 +140,56 @@ def test_m_sharded_spectral_matches_single_device():
     _tree_allclose(jax.tree_util.tree_map(np.asarray, out[3]),
                    jax.tree_util.tree_map(np.asarray, ref[3]),
                    rtol=1e-8, atol=1e-10)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason='needs 8 devices')
+def test_m_sharded_fv_moisture_matches_single_device():
+    """m-sharded spectral dynamics + FV grid-space moisture with
+    ppermute halo exchange must match the single-device FV run."""
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+    from climt_tpu.dycore.moist_gcm import build_moist_gcm
+
+    nlon, nlat, nz = 32, 16, 8
+    ref_model = build_moist_gcm(
+        nlon=nlon, nlat=nlat, nz=nz, timestep=600.0, dtype=jnp.float64,
+        fft_impl='matmul', moisture_advection='fv')
+
+    mesh = Mesh(np.array(jax.devices()[:8]).reshape(8, 1), ('lat', 'lon'))
+    dist_model = build_moist_gcm(
+        nlon=nlon, nlat=nlat, nz=nz, timestep=600.0, dtype=jnp.float64,
+        fft_impl='matmul', mesh=mesh, moisture_advection='fv')
+
+    run = _run_n(ref_model[2], 2)
+    ref = jax.jit(run)(ref_model[1]())
+
+    spec3 = NamedSharding(mesh, P(None, 'lat', None))
+    spec2 = NamedSharding(mesh, P('lat', None))
+    grid3 = NamedSharding(mesh, P(None, 'lat', None))
+    grid2 = NamedSharding(mesh, P('lat', None))
+
+    def put_state(tree):
+        # fv mode: 'q' is a real grid array; others complex spectral —
+        # both are (·, m-or-lat, ·) rank-3 or rank-2, same specs apply
+        return {k: jax.device_put(v, spec3 if v.ndim == 3 else spec2)
+                for k, v in tree.items()}
+
+    prev, now, grids, aux, k0 = dist_model[1]()
+    prev, now = put_state(prev), put_state(now)
+    grids = {k: jax.device_put(v, grid3 if v.ndim == 3 else grid2)
+             for k, v in grids.items()}
+    aux = {k: jax.device_put(v, grid3 if v.ndim == 3 else grid2)
+           for k, v in aux.items()}
+
+    out = jax.jit(_run_n(dist_model[2], 2))((prev, now, grids, aux, k0))
+
+    for name in ('vort', 'div', 'T', 'lnps'):
+        for slot in (0, 1):
+            a = np.asarray(ref_model[0].sht.synthesize(ref[slot][name]))
+            b = np.asarray(
+                dist_model[0].sht.synthesize(out[slot][name]))
+            np.testing.assert_allclose(b, a, rtol=1e-8, atol=1e-10,
+                                       err_msg=name)
+    for slot in (0, 1):
+        np.testing.assert_allclose(
+            np.asarray(out[slot]['q']), np.asarray(ref[slot]['q']),
+            rtol=1e-8, atol=1e-12, err_msg='q (fv grid)')
