@@ -4,7 +4,7 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
 
 Headline metric (BASELINE.md north star): grid-point-steps per second per
 chip for the FULL moist GCM at T85-equivalent resolution (nlon=256,
-nlat=128, nz=28, dt=600 s), one fused jit.  Physics is now honest: REAL
+nlat=128, nz=28, dt=600 s), one fused jit.  Physics is honest: REAL
 correlated-k RRTMG radiation — the golden-matched 112-g-point shortwave
 core and the 140-g-point longwave pipeline (surrogate-calibrated
 k-tables, docs/RRTMG_LW_STATUS.md) — on an hourly lagged cadence
@@ -16,6 +16,15 @@ Secondary metrics in the same JSON object:
 - rrtmg_columns_per_s: standalone full correlated-k LW+SW radiation
   throughput (BASELINE.json metric #2), 60-level columns.
 - secondary_heldsuarez_T42_gridpoint_steps_per_s: dry dynamical core.
+- modeled_scaling_efficiency_8chips: the m-sharded path's alpha-beta
+  estimate from tools/scaling_model.py (one real chip exists here; the
+  collective volumes are exact, the bandwidth assumption documented).
+
+Cold-start wall time: the three programs (T85 moist scan, standalone
+radiation, Held-Suarez scan) are compiled CONCURRENTLY via AOT
+lower+compile in threads — XLA compilation releases the GIL — cutting
+cold bench time to roughly the longest single compile.  The persistent
+compilation cache (.jax_cache) makes repeat runs start in seconds.
 
 The reference publishes no benchmark numbers (BASELINE.md); ``vs_baseline``
 is measured against a nominal 1e6 gridpoint-steps/s single-node figure for
@@ -26,15 +35,14 @@ point, not a measured climt number).
 import json
 import os
 import sys
+import threading
 import time
 
 NOMINAL_BASELINE = 1.0e6  # gridpoint-steps/s, nominal single-node reference
 
 
 def enable_compile_cache():
-    """Persistent XLA compilation cache: the T85 moist-GCM program takes
-    ~90 s to compile and the fused correlated-k radiation ~4 min; caching
-    under the repo makes repeat bench runs start in seconds."""
+    """Persistent XLA compilation cache under the repo."""
     import jax
     cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                              '.jax_cache')
@@ -44,25 +52,22 @@ def enable_compile_cache():
     jax.config.update('jax_persistent_cache_min_entry_size_bytes', -1)
 
 
-def measure(build, n_warmup, n_steps, gridpoints):
+def measure_compiled(compiled, carry, n_steps, gridpoints):
+    """Time a pre-compiled scan executable (one warm + one timed run)."""
     import jax
-    carry = build[1]()
-    run_fn = build[3]
-    # warm up with the SAME static n_steps so the timed call reuses the
-    # compiled scan (a different length would recompile inside the timing)
-    out = run_fn(carry, n_steps)
+    out = compiled(carry)
     carry = out[0] if isinstance(out, tuple) and len(out) == 2 else out
     jax.block_until_ready(jax.tree_util.tree_leaves(carry)[0])
     t0 = time.perf_counter()
-    out = run_fn(carry, n_steps)
+    out = compiled(carry)
     carry = out[0] if isinstance(out, tuple) and len(out) == 2 else out
     jax.block_until_ready(jax.tree_util.tree_leaves(carry)[0])
     elapsed = time.perf_counter() - t0
     return carry, gridpoints * n_steps / elapsed
 
 
-def measure_radiation(nz=60, ncol=8192, repeats=3):
-    """Standalone correlated-k LW+SW columns/s (one fused jit)."""
+def build_radiation_bench(nz=60, ncol=8192):
+    """Jitted standalone correlated-k LW+SW radiation closure."""
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -98,8 +103,6 @@ def measure_radiation(nz=60, ncol=8192, repeats=3):
     nocloud = (jnp.zeros((nz, ncol, 14), dtype),) * 4
     noaer = (jnp.zeros((nz, ncol, 14), dtype),) * 3
 
-    import functools
-
     @jax.jit
     def rad():
         lw = rrtmg_lw_fluxes(
@@ -116,11 +119,16 @@ def measure_radiation(nz=60, ncol=8192, repeats=3):
             9.80665, 6.022140857e23, 1004.64, icld=0, use_tables=False)
         return lw[2] + sw[4]
 
-    out = rad()
+    return rad, ncol
+
+
+def measure_radiation_compiled(compiled, ncol, repeats=3):
+    import jax
+    out = compiled()
     jax.block_until_ready(out)
     t0 = time.perf_counter()
     for _ in range(repeats):
-        out = rad()
+        out = compiled()
     jax.block_until_ready(out)
     elapsed = (time.perf_counter() - t0) / repeats
     return ncol / elapsed
@@ -136,6 +144,7 @@ def _phase(msg, _t0=[None]):
 def main():
     _phase('start')
     enable_compile_cache()
+    import jax
     import jax.numpy as jnp
     import numpy as np
     from climt_tpu.dycore.compiled import build_held_suarez_model
@@ -143,13 +152,52 @@ def main():
 
     # headline: T85 moist GCM with real correlated-k radiation (hourly)
     nlon, nlat, nz = 256, 128, 28
+    moist_steps, hs_steps = 24, 1000
     moist = build_moist_gcm(nlon=nlon, nlat=nlat, nz=nz, timestep=600.0,
                             dtype=jnp.float32, rad_every=6,
                             rad_col_chunk=8192)
-    _phase('moist model built')
-    carry, moist_rate = measure(moist, 5, 24, nlon * nlat * nz)
+    hs = build_held_suarez_model(nlon=128, nlat=64, nz=28,
+                                 timestep=600.0, dtype=jnp.float32)
+    rad_fn, rad_ncol = build_radiation_bench()
+    _phase('models built')
+    carry_m = moist[1]()
+    carry_h = hs[1]()
+    _phase('states initialized')
+
+    # concurrent AOT compilation (XLA releases the GIL; the persistent
+    # cache additionally dedupes across runs)
+    compiled = {}
+    errors = {}
+
+    def compile_to(key, thunk):
+        try:
+            t0 = time.time()
+            compiled[key] = thunk()
+            _phase('%s compiled (%.0f s)' % (key, time.time() - t0))
+        except Exception as err:            # surface in main thread
+            errors[key] = err
+
+    threads = [
+        threading.Thread(target=compile_to, args=(
+            'moist', lambda: moist[3].lower(carry_m, moist_steps)
+            .compile())),
+        threading.Thread(target=compile_to, args=(
+            'rad', lambda: rad_fn.lower().compile())),
+        threading.Thread(target=compile_to, args=(
+            'hs', lambda: hs[3].lower(carry_h, hs_steps).compile())),
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    if errors:
+        raise next(iter(errors.values()))
+    _phase('all programs compiled')
+
+    carry_m, moist_rate = measure_compiled(
+        compiled['moist'], carry_m, moist_steps, nlon * nlat * nz)
     _phase('moist measured: {:.3g} gps/s'.format(moist_rate))
-    T = np.asarray(moist[0].sht.synthesize(carry[1]['T']))
+    T = np.asarray(moist[0].sht.synthesize(carry_m[1]['T']))
     if np.isnan(T).any():
         print(json.dumps({
             'metric': 'moist_gcm_T85_gridpoint_steps_per_s',
@@ -157,16 +205,23 @@ def main():
             'vs_baseline': 0.0, 'error': 'NaN in output'}))
         sys.exit(1)
 
-    # metric 2: standalone correlated-k radiation throughput
-    rad_rate = measure_radiation()
+    rad_rate = measure_radiation_compiled(compiled['rad'], rad_ncol)
     _phase('radiation measured: {:.3g} col/s'.format(rad_rate))
 
-    # secondary: Held-Suarez T42 dry dynamical core (1000 steps so the
-    # timed region is ~0.5 s; 200 steps gave ±30% run-to-run noise)
-    hs = build_held_suarez_model(nlon=128, nlat=64, nz=28,
-                                 timestep=600.0, dtype=jnp.float32)
-    _, hs_rate = measure(hs, 10, 1000, 128 * 64 * 28)
+    _, hs_rate = measure_compiled(compiled['hs'], carry_h, hs_steps,
+                                  128 * 64 * 28)
     _phase('held-suarez measured: {:.3g} gps/s'.format(hs_rate))
+
+    # m-sharded scaling estimate from the measured single-chip step
+    import importlib.util
+    spec = importlib.util.spec_from_file_location(
+        'scaling_model', os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), 'tools',
+            'scaling_model.py'))
+    scaling = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(scaling)
+    step_s = nlon * nlat * nz / moist_rate
+    eff8 = scaling.model(8, step_s)[0]
 
     print(json.dumps({
         'metric': 'moist_gcm_T85_gridpoint_steps_per_s',
@@ -177,6 +232,7 @@ def main():
         'rrtmg_columns_per_s': round(rad_rate, 1),
         'secondary_heldsuarez_T42_gridpoint_steps_per_s':
             round(hs_rate, 1),
+        'modeled_scaling_efficiency_8chips': round(eff8, 4),
     }))
 
 

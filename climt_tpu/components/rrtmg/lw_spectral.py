@@ -171,14 +171,50 @@ RAT_PAIRS = dict(h2oco2=('h2o', 'co2'), o3co2=('o3', 'co2'),
                  h2on2o=('h2o', 'n2o'), n2oco2=('n2o', 'co2'))
 
 
+_AER_KDIST = os.path.join(_DATA_DIR, 'rrtmg_lw_kdist_aer.npz')
+_KDIST_OVERRIDE = [None]     # set by load_aer_tables
+
+
 @functools.lru_cache()
 def load_support():
     return dict(np.load(_SUPPORT))
 
 
-@functools.lru_cache()
 def load_kdist():
-    return dict(np.load(_KDIST))
+    """Gas k-distribution tables.
+
+    Preference order: (1) tables installed via ``load_aer_tables``,
+    (2) a path in $CLIMT_TPU_LW_KTABLES, (3) the real AER tables dropped
+    in as data/rrtmg_lw_kdist_aer.npz, (4) the calibrated surrogate.
+    Given AER's data the pipeline reproduces the reference with no code
+    change (docs/RRTMG_LW_STATUS.md)."""
+    if _KDIST_OVERRIDE[0] is not None:
+        return _KDIST_OVERRIDE[0]
+    env = os.environ.get('CLIMT_TPU_LW_KTABLES')
+    for path in (env, _AER_KDIST):
+        if path and os.path.exists(path):
+            _KDIST_OVERRIDE[0] = dict(np.load(path))
+            return _KDIST_OVERRIDE[0]
+    _KDIST_OVERRIDE[0] = dict(np.load(_KDIST))
+    return _KDIST_OVERRIDE[0]
+
+
+def load_aer_tables(path):
+    """Install real AER RRTMG-LW k-tables for all subsequent calls.
+
+    ``path`` must be an npz whose keys follow the surrogate layout
+    (tools/build_lw_surrogate_ktables.py): per band ``b{n}_absa`` /
+    ``b{n}_absb`` with rows flattened as (jp*5 + jt)*nspa + js (the
+    Fortran ka/kb index order of rrtmg_lw_k_g.f90, g-points last),
+    ``b{n}_selfref`` (10, ng), ``b{n}_forref`` (4, ng),
+    ``b{n}_fracrefa``/``fracrefb`` ((ng,) or (ng, neta)),
+    ``b{n}_k{a|b}_m{gas}`` minor-gas tables (19, ng), and the
+    ``ccl4/cfc11adj/cfc12/cfc22adj`` cross-sections (ng,).
+    Converting AER's published rrtmg_lw_k_g.f90 (or the netCDF release)
+    into this layout is mechanical; parity then follows to
+    interpolation precision with no code change."""
+    _KDIST_OVERRIDE[0] = dict(np.load(path))
+    return _KDIST_OVERRIDE[0]
 
 
 def _trunc_int(x):

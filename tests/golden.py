@@ -78,7 +78,8 @@ def compare_dict(current, cached, rtol=1e-6, atol=1e-10, context='',
                 cached_dims):
             arr = value.transpose(*cached_dims)
         np.testing.assert_allclose(
-            np.asarray(arr.values), cached_values, rtol=rtol, atol=atol,
+            np.asarray(arr.values), cached_values,
+            rtol=_tol_for(rtol, name), atol=_tol_for(atol, name),
             err_msg='{}: mismatch in {!r}'.format(context, name))
     for name in current:
         if name == 'time' or name in ignore:
@@ -86,6 +87,19 @@ def compare_dict(current, cached, rtol=1e-6, atol=1e-10, context='',
         assert name in cached, \
             '{}: extra output {!r} not in cache (cache has {})'.format(
                 context, name, sorted(cached.keys()))
+
+
+def _tol_for(tol, name):
+    """Per-quantity tolerance: a plain float applies to every field; a
+    dict maps substrings of the quantity name to values, with
+    'default' as the fallback (e.g. flux vs heating-rate scales for the
+    LW surrogate families)."""
+    if isinstance(tol, dict):
+        for key, v in tol.items():
+            if key != 'default' and key in name:
+                return v
+        return tol['default']
+    return tol
 
 
 def compare_outputs(output, cached_list, rtol=1e-6, atol=1e-10, context='',
