@@ -737,6 +737,26 @@ def rtrn_lw(taug, fracs, planklay, planklev, plankbnd, semiss, pwvcm,
     delwave = jnp.asarray(t['delwave'], dtype)
     fluxfac = np.pi * 2.0e4
 
+    # fast path: whole sweep fused in one Pallas kernel (VMEM-resident
+    # per-band slabs, no per-g HBM intermediates) — production f32
+    # analytic-transmittance band-cloud configuration only
+    from .fused_mix import _pallas_mode
+    mode = _pallas_mode()
+    if (mode != 'off' and not idrv and not use_tables and not per_g_cloud
+            and dtype == jnp.float32):
+        from .pallas_rtrn import rtrn_lw_fused
+        dwave_g = delwave[ngb] * wtdiff * fluxfac
+        totuflux, totdflux, totuclfl, totdclfl = rtrn_lw_fused(
+            taug, fracs, planklay, planklev, plankbnd, semiss, secdiff,
+            cldfrac, taucld_band, dwave_g,
+            interpret=(mode == 'interpret'))
+        fnet = totuflux - totdflux
+        fnetc = totuclfl - totdclfl
+        dpz = pz[:-1] - pz[1:]
+        htr = heatfac * (fnet[:-1] - fnet[1:]) / dpz
+        htrc = heatfac * (fnetc[:-1] - fnetc[1:]) / dpz
+        return (totuflux, totdflux, htr, totuclfl, totdclfl, htrc)
+
     plfrac = jnp.moveaxis(fracs, -1, 0)             # (140, nz, ncol)
     odepth = jnp.maximum(
         jnp.moveaxis(secdiff_g[:, None] * jnp.moveaxis(taug, -1, 0), 0, 0),

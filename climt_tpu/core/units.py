@@ -152,8 +152,12 @@ def parse_units(units: str) -> Unit:
             continue
         if not part:
             continue
-        # within a part, factors are separated by whitespace or '*'
-        for tok in re.split(r'[\s*]+(?!\*)', part):
+        # within a part, factors are separated by whitespace or a single
+        # '*'; '**' (and '^') bind an exponent to the preceding unit, so
+        # collapse any spacing around them first ('W/m**2', 'm ** 2')
+        part = re.sub(r'\s*\*\*\s*', '**', part)
+        part = re.sub(r'\s*\^\s*', '^', part)
+        for tok in re.split(r'\s+|(?<!\*)\*(?!\*)', part):
             if not tok:
                 continue
             fdims, fscale, foffset, e = _parse_factor(tok)

@@ -9,6 +9,12 @@ os.environ['XLA_FLAGS'] = (
     ' --xla_force_host_platform_device_count=8').strip()
 
 import jax  # noqa: E402
+
+# Register the Pallas TPU MLIR lowerings BEFORE dropping backend factories:
+# the import needs the 'tpu' platform name to still be registered, and the
+# suite exercises the radiation Pallas kernels in interpreter mode.
+from jax.experimental.pallas import tpu as _pltpu  # noqa: E402,F401
+
 import jax._src.xla_bridge as _xb  # noqa: E402
 
 # Drop any non-CPU PJRT backends (e.g. a tunneled TPU plugin registered by a

@@ -21,8 +21,20 @@ CACHE_DIR = '/root/reference/tests/cached_component_output'
 reference_available = os.path.isdir(CACHE_DIR)
 
 
+REPAIRED_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            'repaired_caches')
+
+
 def load_cache(filename):
-    """Load one cache file -> {name: (array, units, dims)}."""
+    """Load one cache file -> {name: (array, units, dims)}.
+
+    If a repaired copy exists in tests/repaired_caches/ (written by
+    tools/repair_dcmip_cache.py for a cache whose on-mirror bytes are
+    corrupted), it is preferred over the mirror file.
+    """
+    repaired = os.path.join(REPAIRED_DIR, os.path.basename(filename))
+    if os.path.exists(repaired):
+        filename = repaired
     f = netcdf_file(filename, 'r', mmap=False)
     out = {}
     for name, var in f.variables.items():
