@@ -60,6 +60,7 @@ from .components import (
     DryConvectiveAdjustment, EmanuelConvection,
     Frierson06LongwaveOpticalDepth, GrayLongwaveRadiation,
     GridScaleCondensation, HeldSuarez, IceSheet, Instellation,
+    DataOcean, LandIce, LandMask, SeaIce, SimpleBoundaryLayer,
     RRTMGLongwave, RRTMGShortwave, SimplePhysics, SlabSurface,
 )
 from .dycore.gfs import GFSDynamicalCore

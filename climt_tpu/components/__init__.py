@@ -34,9 +34,20 @@ try:
 except ImportError:
     SlabSurface = _not_yet('SlabSurface')
 try:
-    from .ice_sheet import IceSheet
+    from .snow_ice import IceSheet, LandIce, SeaIce
 except ImportError:
     IceSheet = _not_yet('IceSheet')
+    LandIce = _not_yet('LandIce')
+    SeaIce = _not_yet('SeaIce')
+try:
+    from .boundary_layer import SimpleBoundaryLayer
+except ImportError:
+    SimpleBoundaryLayer = _not_yet('SimpleBoundaryLayer')
+try:
+    from .geodata import DataOcean, LandMask
+except ImportError:
+    DataOcean = _not_yet('DataOcean')
+    LandMask = _not_yet('LandMask')
 try:
     from .bucket_hydrology import BucketHydrology
 except ImportError:

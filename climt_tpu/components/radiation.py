@@ -107,7 +107,7 @@ class GrayLongwaveRadiation(TendencyComponent):
             'units': 'W m^-2',
             'alias': 'lw_up',
         },
-        'longwave_heating_rate': {
+        'air_temperature_tendency_from_longwave': {
             'dims': ['mid_levels', '*'],
             'units': 'degK day^-1',
         },
@@ -130,7 +130,7 @@ class GrayLongwaveRadiation(TendencyComponent):
         diagnostics = {
             'lw_down': downward,
             'lw_up': upward,
-            'longwave_heating_rate': tendency * 86400.,
+            'air_temperature_tendency_from_longwave': tendency * 86400.,
         }
         return tendencies, diagnostics
 

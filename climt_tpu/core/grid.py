@@ -187,6 +187,7 @@ class HybridSigmaPressureDiagnosticComponent(DiagnosticComponent):
 
 def get_grid(
         nx=None, ny=None, nz=28, n_ice_interface_levels=10,
+        n_soil_interface_levels=4,
         p_surf_in_Pa=None, p_toa_in_Pa=None,
         proportion_sigma_levels=0.1,
         proportion_isobaric_levels=0.25,
@@ -250,4 +251,8 @@ def get_grid(
         grid_state['height_on_ice_interface_levels'] = DataArray(
             np.zeros(n_ice_interface_levels),
             dims=['ice_interface_levels'], attrs={'units': 'm'})
+    if n_soil_interface_levels is not None:
+        grid_state['height_on_soil_interface_levels'] = DataArray(
+            np.linspace(0.0, 2.0, n_soil_interface_levels),
+            dims=['soil_interface_levels'], attrs={'units': 'm'})
     return grid_state

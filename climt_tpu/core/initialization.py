@@ -56,6 +56,17 @@ def _land_shape(grid_state, interface=False, horizontal=False):
 _ocean_shape = _land_shape
 
 
+def _soil_shape(grid_state, interface=False, horizontal=False):
+    ny, nx = grid_state['latitude'].shape
+    y_dim, x_dim = grid_state['latitude'].dims
+    nzs = grid_state['height_on_soil_interface_levels'].shape[0]
+    if horizontal:
+        return (ny, nx), (y_dim, x_dim)
+    if interface:
+        return (nzs, ny, nx), ('soil_interface_levels', y_dim, x_dim)
+    return (nzs - 1, ny, nx), ('soil_mid_levels', y_dim, x_dim)
+
+
 def _ice_shape(grid_state, interface=False, horizontal=False):
     ny, nx = grid_state['latitude'].shape
     y_dim, x_dim = grid_state['latitude'].dims
@@ -77,6 +88,7 @@ _DOMAIN_SHAPES = {
     'land': _land_shape,
     'ocean': _ocean_shape,
     'ice': _ice_shape,
+    'soil': _soil_shape,
     'scalar': _scalar_shape,
 }
 
@@ -129,16 +141,24 @@ default_values = {
     'area_type': {'value': 'sea', 'units': 'dimensionless', 'dtype': 'U100', 'domain': 'surface'},
     'surface_upward_sensible_heat_flux': {'value': 0., 'units': 'W m^-2', 'domain': 'surface'},
     'surface_upward_latent_heat_flux': {'value': 0., 'units': 'W m^-2', 'domain': 'surface'},
+    'surface_downward_eastward_stress': {'value': 0., 'units': 'N m^-2', 'domain': 'surface'},
+    'surface_downward_northward_stress': {'value': 0., 'units': 'N m^-2', 'domain': 'surface'},
 
     'soil_type': {'value': 'clay', 'units': 'dimensionless', 'dtype': 'U100', 'domain': 'land_horizontal'},
-    'soil_temperature': {'value': 274., 'units': 'degK', 'domain': 'land_horizontal'},
+    'soil_temperature': {'value': 285., 'units': 'degK', 'domain': 'soil_interface'},
+    'soil_liquid_water_content': {'value': 0.2, 'units': 'm^3/m^3', 'domain': 'soil_interface'},
+    'soil_ice_content': {'value': 0., 'units': 'm^3/m^3', 'domain': 'soil_interface'},
     'soil_layer_thickness': {'value': 50., 'units': 'm', 'domain': 'land_horizontal'},
     'upward_heat_flux_at_ground_level_in_soil': {'value': 0., 'units': 'W m^-2', 'domain': 'land_horizontal'},
     'heat_capacity_of_soil': {'value': 2000., 'units': 'J kg^-1 degK^-1', 'domain': 'land_horizontal'},
+    'deep_soil_moisture_content': {'value': 0.25, 'units': 'm', 'domain': 'land_horizontal'},
+    'deep_soil_temperature': {'value': 285., 'units': 'degK', 'domain': 'land_horizontal'},
+    'runoff_rate': {'value': 0., 'units': 'm s^-1', 'domain': 'land_horizontal'},
 
     'sea_water_density': {'value': 1.029e3, 'units': 'kg m^-3', 'domain': 'ocean_horizontal'},
     'sea_surface_temperature': {'value': 300., 'units': 'degK', 'domain': 'ocean_horizontal'},
     'ocean_mixed_layer_thickness': {'value': 50., 'units': 'm', 'domain': 'ocean_horizontal'},
+    'ocean_heat_transport_convergence': {'value': 0., 'units': 'W m^-2', 'domain': 'ocean_horizontal'},
 
     'snow_and_ice_temperature': {'value': 270., 'units': 'degK', 'domain': 'ice_interface'},
     'heat_flux_into_sea_water_due_to_sea_ice': {'value': 0., 'units': 'W m^-2', 'domain': 'ice_horizontal'},
@@ -151,6 +171,8 @@ default_values = {
     'lwe_thickness_of_soil_moisture_content': {'value': 0, 'units': 'm', 'domain': 'surface'},
     'convective_precipitation_rate': {'value': 0., 'units': 'mm day^-1', 'domain': 'surface'},
     'stratiform_precipitation_rate': {'value': 0., 'units': 'm s^-1', 'domain': 'surface'},
+    'irradiation_temperature': {'value': 0., 'units': 'degK', 'domain': 'atmosphere_horizontal'},
+    'internal_temperature': {'value': 0., 'units': 'degK', 'domain': 'atmosphere_horizontal'},
 }
 
 

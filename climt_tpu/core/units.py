@@ -64,7 +64,7 @@ _register(['m', 'meter', 'meters', 'metre', 'metres'], _dim(m=1), 1.0)
 _register(['km', 'kilometer', 'kilometers'], _dim(m=1), 1e3)
 _register(['cm'], _dim(m=1), 1e-2)
 _register(['mm'], _dim(m=1), 1e-3)
-_register(['um', 'micrometer', 'micrometers', 'micron', 'microns'],
+_register(['um', 'µm', 'micrometer', 'micrometers', 'micron', 'microns'],
           _dim(m=1), 1e-6)
 _register(['nm'], _dim(m=1), 1e-9)
 
@@ -110,7 +110,7 @@ _register(['ppb'], _DIMLESS, 1e-9)
 _register(['ppt'], _DIMLESS, 1e-12)
 
 _FACTOR_RE = re.compile(
-    r'([A-Za-z_%]+)\s*(?:\^|\*\*)?\s*([+-]?\d+(?:/\d+)?)?$')
+    r'([A-Za-z_%µμ]+)\s*(?:\^|\*\*)?\s*([+-]?\d+(?:/\d+)?)?$')
 
 
 def _parse_factor(tok: str) -> Tuple[Tuple[Fraction, ...], float, float, int]:
@@ -133,6 +133,16 @@ def parse_units(units: str) -> Unit:
     units = units.strip()
     if units in ('', 'dimensionless', '1'):
         return Unit(_DIMLESS, 1.0, 0.0)
+
+    # expand parenthesized groups (one nesting level suffices for unit
+    # strings): 'J/(degK*kg)' -> 'J/degK/kg', '(m*s)' -> 'm*s'
+    def _div_group(m):
+        # split on whitespace or a single '*' — a '**' exponent stays
+        # bound to its unit ('kg/(m**2*s)' -> '/m**2/s')
+        inner = re.split(r'\s+|(?<!\*)\*(?!\*)', m.group(1).strip())
+        return ''.join('/' + tok for tok in inner if tok)
+    units = re.sub(r'/\s*\(([^()]*)\)', _div_group, units)
+    units = re.sub(r'\(([^()]*)\)', r'\1', units)
 
     # Tokenize into (sign, factor) where '/' flips the sign of the next factor
     dims = [Fraction(0)] * _NBASE

@@ -236,6 +236,73 @@ class TestIceSheetLand(GoldenBase):
         return state
 
 
+class TestSeaIce(GoldenBase):
+    test_name = 'TestSeaIce'
+
+    def get_component_instance(self):
+        return ct.SeaIce()
+
+    def get_3d_state(self, component):
+        state = super().get_3d_state(component)
+        state['area_type'].values[:] = 'sea_ice'
+        state['sea_ice_thickness'].values[:] = 1.0
+        return state
+
+
+class TestLandIce(GoldenBase):
+    test_name = 'TestLandIce'
+
+    def get_component_instance(self):
+        return ct.LandIce()
+
+    def get_3d_state(self, component):
+        state = super().get_3d_state(component)
+        state['area_type'].values[:] = 'land_ice'
+        state['land_ice_thickness'].values[:] = 3.0
+        return state
+
+
+class TestLandMask(GoldenBase):
+    test_name = 'TestLandMask'
+
+    def get_component_instance(self):
+        return ct.LandMask()
+
+
+class TestDataOcean(GoldenBase):
+    test_name = 'TestDataOcean'
+
+    def get_component_instance(self):
+        # the reference test writes a tiny uniform-290K SST dataset; feed
+        # the same values through an in-memory dict source
+        import numpy as np
+        lat = np.arange(-88.0, 90.0, 8.0)
+        lon = np.arange(4.0, 360.0, 8.0)
+        data = np.repeat(np.full((1, lat.size, lon.size), 290.0), 12, 0)
+        ds = {'tos': data, 'lat': lat, 'lon': lon,
+              '__units__': {'tos': 'K'}}
+        return ct.DataOcean(ds, sst_variable='tos')
+
+    def get_column_state(self, component):
+        from datetime import datetime
+        state = super().get_column_state(component)
+        state['time'] = datetime(2000, 1, 15, 12)
+        return state
+
+    def get_3d_state(self, component):
+        from datetime import datetime
+        state = super().get_3d_state(component)
+        state['time'] = datetime(2000, 1, 15, 12)
+        return state
+
+
+class TestSimpleBoundaryLayer(GoldenBase):
+    test_name = 'TestSimpleBoundaryLayer'
+
+    def get_component_instance(self):
+        return ct.SimpleBoundaryLayer()
+
+
 class TestDcmip(GoldenBase):
     test_name = 'TestDcmip'
 
