@@ -60,7 +60,8 @@ from .components import (
     DryConvectiveAdjustment, EmanuelConvection,
     Frierson06LongwaveOpticalDepth, GrayLongwaveRadiation,
     GridScaleCondensation, HeldSuarez, IceSheet, Instellation,
-    DataOcean, LandIce, LandMask, SeaIce, SimpleBoundaryLayer,
+    DataOcean, EmanuelConvectionPython, LandIce, LandMask, SeaIce, SecondBEST,
+    SimpleBoundaryLayer,
     RRTMGLongwave, RRTMGShortwave, SimplePhysics, SlabSurface,
 )
 from .dycore.gfs import GFSDynamicalCore

@@ -44,6 +44,12 @@ try:
 except ImportError:
     SimpleBoundaryLayer = _not_yet('SimpleBoundaryLayer')
 try:
+    from .second_best import (
+        BestSoilProperties, BestSubsurfaceTransport, BestSurfaceAlbedo,
+        BestSurfaceFluxes, BestSurfaceLayer, SecondBEST)
+except ImportError:
+    SecondBEST = _not_yet('SecondBEST')
+try:
     from .geodata import DataOcean, LandMask
 except ImportError:
     DataOcean = _not_yet('DataOcean')
@@ -65,7 +71,8 @@ try:
 except ImportError:
     SimplePhysics = _not_yet('SimplePhysics')
 try:
-    from .emanuel_convection import EmanuelConvection
+    from .emanuel_convection import (EmanuelConvection,
+                                     EmanuelConvectionPython)
 except ImportError:
     EmanuelConvection = _not_yet('EmanuelConvection')
 try:

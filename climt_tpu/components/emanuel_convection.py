@@ -934,3 +934,15 @@ class EmanuelConvection(ImplicitTendencyComponent):
                 out['ft'] * 86400.0,
         }
         return tendencies, diagnostics
+
+
+class EmanuelConvectionPython(EmanuelConvection):
+    """Alias for API parity with the reference's pure-Python backend.
+
+    The reference ships the same Emanuel scheme twice: the Fortran-backed
+    ``EmanuelConvection`` and a pure-Python ``EmanuelConvectionPython``
+    (emanuel/pure_python_v3.py) for environments without compiled
+    extensions.  climt_tpu's ``EmanuelConvection`` is already a
+    from-scratch JAX implementation — it IS the no-native-extensions
+    backend — so the alias exposes the same component under both names.
+    """

@@ -49,7 +49,10 @@ _DEFAULT_CONSTANTS: Dict[str, Tuple[float, str]] = {
     'heat_capacity_of_vapor_phase': (1846., 'J kg^-1 K^-1'),
     'specific_enthalpy_of_vapor_phase': (2500., 'J kg^-1'),
     'latent_heat_of_condensation': (2.5e6, 'J kg^-1'),
+    'latent_heat_of_vaporization': (2.5e6, 'J kg^-1'),
     'latent_heat_of_fusion': (333550., 'J kg^-1'),
+    'von_karman_constant': (0.4, 'dimensionless'),
+    'heat_capacity_of_sea_water': (3985.0, 'J kg^-1 degK^-1'),
     'freezing_temperature_of_liquid_phase': (273., 'degK'),
     'density_of_liquid_phase': (1e3, 'kg m^-3'),
     'density_of_liquid_water': (1e3, 'kg m^-3'),

@@ -296,6 +296,31 @@ class TestDataOcean(GoldenBase):
         return state
 
 
+class TestBucketHydrologyTwoLayer(GoldenBase):
+    test_name = 'TestBucketHydrologyTwoLayer'
+
+    def get_component_instance(self):
+        return ct.BucketHydrology(num_layers=2,
+                                  moisture_diffusion_timescale=86400.0)
+
+
+class TestSecondBEST(GoldenBase):
+    test_name = 'TestSecondBEST'
+
+    def get_component_instance(self):
+        return ct.SecondBEST()
+
+    def get_column_state(self, component):
+        state = super().get_column_state(component)
+        state['area_type'].values[:] = 'land'
+        return state
+
+    def get_3d_state(self, component):
+        state = super().get_3d_state(component)
+        state['area_type'].values[:] = 'land'
+        return state
+
+
 class TestSimpleBoundaryLayer(GoldenBase):
     test_name = 'TestSimpleBoundaryLayer'
 
