@@ -41,14 +41,15 @@ class RRTMGLongwaveDefaultValues(DiagnosticComponent):
     }
 
     def array_call(self, state):
+        from ...core.initialization import get_num_longwave_bands
+        nb = get_num_longwave_bands()
         ncol, nz = state['air_pressure'].shape
         return {
-            'surface_longwave_emissivity': np.ones(
-                [NUM_LONGWAVE_BANDS, ncol]),
+            'surface_longwave_emissivity': np.ones([nb, ncol]),
             'longwave_optical_thickness_due_to_cloud': np.zeros(
-                [nz, ncol, NUM_LONGWAVE_BANDS]),
+                [nz, ncol, nb]),
             'longwave_optical_thickness_due_to_aerosol': np.zeros(
-                [NUM_LONGWAVE_BANDS, nz, ncol]),
+                [nb, nz, ncol]),
         }
 
 

@@ -26,6 +26,34 @@ _DATA_DIR = os.path.join(
     os.path.dirname(os.path.dirname(os.path.abspath(__file__))), 'data')
 
 
+# -- spectral band-count hooks -------------------------------------------------
+# Radiation schemes declare their band counts at construction so that the
+# num_longwave_bands / num_shortwave_bands dimensions of default-value
+# initializers (emissivity, cloud optics) match the active scheme
+# (reference _core/initialization.py set_num_longwave_bands, v0.31).
+
+_num_longwave_bands = None      # None -> RRTMG default (16)
+_num_shortwave_bands = None     # None -> RRTMG default (14)
+
+
+def set_num_longwave_bands(n):
+    global _num_longwave_bands
+    _num_longwave_bands = int(n)
+
+
+def set_num_shortwave_bands(n):
+    global _num_shortwave_bands
+    _num_shortwave_bands = int(n)
+
+
+def get_num_longwave_bands():
+    return 16 if _num_longwave_bands is None else _num_longwave_bands
+
+
+def get_num_shortwave_bands():
+    return 14 if _num_shortwave_bands is None else _num_shortwave_bands
+
+
 # -- domain shape resolution --------------------------------------------------
 
 def _atmosphere_shape(grid_state, interface=False, horizontal=False):
