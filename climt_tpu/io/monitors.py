@@ -27,19 +27,59 @@ class NetCDFMonitor:
         filename: output path.
         store_names: optional iterable restricting which quantities are
             stored.
-        write_on_store: if True, rewrite the file on every store call
-            (crash-safe appending semantics).
+        write_on_store: if True, every store call lands on disk before
+            the next model step can be lost (crash-safe appending
+            semantics).
         time_units: units string for the time axis.
+        backend: 'auto' (default), 'native', or 'scipy'.  With
+            ``write_on_store`` the 'native' backend streams each record
+            through the _fastio C extension (io/native.py): appends are
+            O(record) and performed by a writer pthread off the step
+            loop, where the scipy path rewrites the whole file per store
+            (O(n^2) over a run).  'auto' uses the native writer when the
+            extension builds, else falls back to scipy; 'native' raises
+            if unavailable.
     """
 
     def __init__(self, filename, store_names=None, write_on_store=False,
-                 time_units='seconds'):
+                 time_units='seconds', backend='auto'):
+        if backend not in ('auto', 'native', 'scipy'):
+            raise ValueError('backend must be auto|native|scipy')
         self._filename = filename
         self._store_names = set(store_names) if store_names else None
         self._write_on_store = write_on_store
         self._time_units = time_units
+        self._backend = backend
         self._snapshots = []
         self._reference_time = None
+        self._writer = None         # AsyncNetCDFWriter once streaming
+        self._count = 0
+
+    def _want_native(self):
+        return self._write_on_store and self._backend in ('auto', 'native')
+
+    def _open_native(self, snapshot):
+        """Fix the schema from the first snapshot and open the streaming
+        writer; returns False (with scipy fallback arranged) when the
+        extension is unavailable and backend='auto'."""
+        from .native import AsyncNetCDFWriter
+        dim_sizes = {}
+        variables = []
+        for name, (arr, dims, units) in snapshot.items():
+            for d, s in zip(dims, arr.shape):
+                if dim_sizes.setdefault(d, s) != s:
+                    raise ValueError(
+                        'dimension {!r} has conflicting sizes'.format(d))
+            variables.append((name, tuple(dims), units))
+        try:
+            self._writer = AsyncNetCDFWriter(
+                self._filename, list(dim_sizes.items()), variables)
+        except RuntimeError:
+            if self._backend == 'native':
+                raise
+            self._backend = 'scipy'
+            return False
+        return True
 
     def store(self, state):
         time = state.get('time')
@@ -59,13 +99,29 @@ class NetCDFMonitor:
                 self._reference_time, datetime.datetime):
             seconds = (time - self._reference_time).total_seconds()
         else:
-            seconds = float(len(self._snapshots))
+            seconds = float(self._count)
+        self._count += 1
+        if self._want_native():
+            if self._writer is None and not self._open_native(snapshot):
+                pass                        # fell back to scipy below
+            if self._writer is not None:
+                self._writer.append(
+                    seconds, {n: a for n, (a, _, _) in snapshot.items()})
+                return
         self._snapshots.append((seconds, snapshot))
         if self._write_on_store:
             self.write()
 
     def write(self):
-        """Write all accumulated snapshots to the NetCDF file."""
+        """Flush everything stored so far to disk.
+
+        Streaming (native) mode: block until the writer thread has
+        drained its queue.  Buffered (scipy) mode: rewrite the file with
+        all accumulated snapshots.
+        """
+        if self._writer is not None:
+            self._writer.flush()
+            return
         from scipy.io import netcdf_file
         if not self._snapshots:
             return
@@ -94,6 +150,16 @@ class NetCDFMonitor:
                     else units
         finally:
             f.close()
+
+    def close(self):
+        """Finalize the file.  Streaming mode patches the netCDF record
+        count (left at the STREAMING sentinel while open so a crash
+        leaves a readable file); buffered mode performs a final write."""
+        if self._writer is not None:
+            self._writer.close()
+            self._writer = None
+        elif not self._write_on_store:
+            self.write()
 
 
 class PlotFunctionMonitor:

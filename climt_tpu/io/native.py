@@ -180,9 +180,11 @@ class AsyncNetCDFWriter:
             parts.append(np.ascontiguousarray(
                 fields[n], dtype='=f8').tobytes())
         rec = b''.join(parts)
-        if len(rec) != self.record_size + 8:
+        # record_size (from build_header) already counts the leading
+        # time scalar's 8 bytes
+        if len(rec) != self.record_size:
             raise ValueError('record size mismatch: got {} expected {}'
-                             .format(len(rec), self.record_size + 8))
+                             .format(len(rec), self.record_size))
         self._fastio.append(self._handle, rec)
         self.records += 1
 
