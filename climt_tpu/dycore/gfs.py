@@ -97,8 +97,9 @@ class GFSDynamicalCore(Stepper):
                  truncation=None,
                  asselin_strength=0.05,
                  moist=True, moisture_advection='spectral', **kwargs):
-        """``moisture_advection``: 'spectral' (cache-parity default) or
-        'fv' (conservative grid-space transport).  Registered tracers
+        """``moisture_advection``: 'spectral' (cache-parity default),
+        'fv' (conservative grid-space flux-form transport), or 'sl'
+        (semi-Lagrangian, ops/sl_advection.py).  Registered tracers
         (core/tracers.py) are ALWAYS advected in grid space with the
         flux-form FV operator on the dycore's diagnosed mass fluxes —
         the reference dycore advected every registered tracer

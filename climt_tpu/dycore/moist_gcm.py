@@ -299,10 +299,13 @@ def build_moist_gcm(nlon=128, nlat=64, nz=28, timestep=600.0,
     the GFS's grid-space tracer advection.  Closure is asserted in
     tests/test_dycore_multistep.py.
 
-    moisture_advection: 'spectral' or 'fv' — with 'fv' moisture moves by
-    the conservative grid-space flux-form operator
+    moisture_advection: 'spectral', 'fv', or 'sl'.  'fv' moves moisture
+    by the conservative grid-space flux-form operator
     (ops/fv_advection.py): LOCALLY conservative and positive-definite,
-    so the global fixer is unnecessary and disabled.
+    so the global fixer is unnecessary and disabled.  'sl' uses
+    semi-Lagrangian transport (ops/sl_advection.py): unconditionally
+    stable (no polar substepping), positive-definite through monotone
+    interpolation, non-conservative — the global fixer stays on.
     """
     ak, bk = hybrid_sigma_pressure_coefficients(nz + 1, 1e5, 20.0)
     dycore = SpectralDycore(
@@ -312,6 +315,8 @@ def build_moist_gcm(nlon=128, nlat=64, nz=28, timestep=600.0,
         moisture_advection=moisture_advection)
     if moisture_advection == 'fv':
         conserve_water = False        # FV is conservative by construction
+    # 'sl' (semi-Lagrangian) is NON-conservative: keep the fixer on,
+    # operating on the grid-space q (see _fix_water)
 
     em_params = dict(
         minorig=0, elcrit=0.0011, tlcrit=-55.0, entp=1.5, sigd=0.05,
@@ -371,23 +376,30 @@ def build_moist_gcm(nlon=128, nlat=64, nz=28, timestep=600.0,
         return jnp.sum(_wlat * q_g * dp)
 
     def _fix_water(new, prev, phys):
-        """Global multiplicative moisture mass fixer (see docstring)."""
+        """Global multiplicative moisture mass fixer (see docstring).
+
+        Handles both moisture representations: spectral q (the
+        advective-form default) and grid q (the 'sl' semi-Lagrangian
+        path, whose horizontal interpolation is also non-conservative;
+        the locally conservative 'fv' path never calls this)."""
         sht = dycore.sht
-        q_prev = sht.synthesize(prev['q'])
+        grid_q = dycore.fv is not None
+        q_prev = prev['q'] if grid_q else sht.synthesize(prev['q'])
         ps_prev = jnp.exp(sht.synthesize(prev['lnps']))
         ph_prev, _, _, _ = dycore._vertical_structures(ps_prev)
         src = jnp.sum(_wlat * phys['dq']
                       * (ph_prev[1:] - ph_prev[:-1]))
         target = _total_water(q_prev, ph_prev) + 2.0 * timestep * src
 
-        q_new = sht.synthesize(new['q'])
+        q_new = new['q'] if grid_q else sht.synthesize(new['q'])
         ps_new = jnp.exp(sht.synthesize(new['lnps']))
         ph_new, _, _, _ = dycore._vertical_structures(ps_new)
         q_pos = jnp.clip(q_new, 0.0, None)
         tw_new = _total_water(q_pos, ph_new)
         scale = jnp.where(tw_new > 0.0,
                           jnp.clip(target, 0.0, None) / tw_new, 1.0)
-        return dict(new, q=sht.analyze(q_pos * scale))
+        q_fixed = q_pos * scale
+        return dict(new, q=q_fixed if grid_q else sht.analyze(q_fixed))
 
     def step_fn(carry, _):
         prev, now, prev_grids, aux, k = carry

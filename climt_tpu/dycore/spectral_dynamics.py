@@ -70,15 +70,18 @@ class SpectralDycore:
         single-device path (tests/test_multichip.py asserts f64 parity).
 
         ``moisture_advection``: 'spectral' (advective-form, the cached
-        reference behavior) or 'fv' — conservative grid-space flux-form
-        van Leer transport (ops/fv_advection.py) on the dycore's
-        diagnosed mass fluxes, the reference GFS's FV/semi-Lagrangian
-        moisture capability (SURVEY.md §2.4).  In 'fv' mode the state's
-        'q' entry is a GRID array (nz, nlat, nlon) — positive-definite,
-        locally conservative, no spectral ringing and no global fixer —
-        and under a mesh the meridional halos ride lax.ppermute
-        (parallel/halo.py).  ``fv_max_wind`` sizes the static polar
-        zonal substep counts (CFL bound, not an accuracy knob).
+        reference behavior), 'fv', or 'sl' — the reference GFS's
+        FV/semi-Lagrangian moisture capability (SURVEY.md §2.4).  'fv'
+        is conservative grid-space flux-form van Leer transport
+        (ops/fv_advection.py) on the dycore's diagnosed mass fluxes; in
+        grid-q modes the state's 'q' entry is a GRID array
+        (nz, nlat, nlon) — positive-definite, locally conservative, no
+        spectral ringing and no global fixer — and under a mesh the
+        meridional halos ride lax.ppermute (parallel/halo.py).  'sl' is
+        semi-Lagrangian (ops/sl_advection.py): unconditionally stable,
+        monotone, non-conservative (pair with the model-level fixer).
+        ``fv_max_wind`` sizes the FV path's static polar zonal substep
+        counts (CFL bound, not an accuracy knob).
         """
         self.nlon, self.nlat, self.nz = nlon, nlat, nz
         self.mesh = mesh
@@ -200,8 +203,9 @@ class SpectralDycore:
         # surface geopotential (grid); set via set_surface_geopotential
         self.phi_s = jnp.zeros((nlat, nlon), dtype=dtype)
 
-        # optional grid-space FV moisture transport
-        if moisture_advection not in ('spectral', 'fv'):
+        # optional grid-space moisture transport ('fv' flux-form or
+        # 'sl' semi-Lagrangian; both expose .advect with one signature)
+        if moisture_advection not in ('spectral', 'fv', 'sl'):
             raise ValueError(moisture_advection)
         self.moisture_advection = moisture_advection
         self.fv = None
@@ -215,6 +219,11 @@ class SpectralDycore:
                 np.asarray(self.sht.mu), np.asarray(self.sht.weights),
                 nlon, radius, dt_max=2.0 * timestep, dtype=dtype,
                 max_wind=fv_max_wind, halo_exchange=halo)
+        elif moisture_advection == 'sl':
+            from ..ops.sl_advection import SLAdvection
+            self.fv = SLAdvection(
+                np.asarray(self.sht.mu), np.asarray(self.sht.weights),
+                nlon, radius, dt_max=2.0 * timestep, dtype=dtype)
 
         # top-of-model Rayleigh damping profile (per level, 1/s)
         damp = np.zeros(nz)
