@@ -52,9 +52,15 @@ def mix_rows(table, terms):
         t = w[..., None] * oh
         W = t if W is None else W + t
     nd = W.ndim
+    # HIGH (bf16x3 emulation, ~1e-6 rel) instead of HIGHEST (bf16x6,
+    # ~4e-7): halves the MXU passes of the taumol hot loop.  The f32
+    # fast path's accuracy budget is the fastpath-vs-f64 bound
+    # (tests/test_radiation_fastpath.py: fluxes atol 0.5 W/m2, heating
+    # atol 0.05 K/day, i.e. ~2e-3 relative) — three orders above this
+    # dot's rounding; f64 golden parity keeps exact gathers above.
     return jax.lax.dot_general(
         W, table.astype(W.dtype), (((nd - 1,), (0,)), ((), ())),
-        precision=jax.lax.Precision.HIGHEST)
+        precision=jax.lax.Precision.HIGH)
 
 
 def lin_rows(table, idx, frac, weight=None):

@@ -4,15 +4,31 @@
 ~20 (140, nz, ncol) f32 intermediates (optical depths, transmittances,
 Planck sources, cloudy/clear streams) before two lax.scans over layers:
 at benchmark shapes that is ~5-8 GB of HBM traffic for 275 MB of taug —
-the measured 2.5x-roofline gap (docs/RADIATION_ROOFLINE.md "LW rtrn").
+and the whole XLA graph is large enough that its standalone compile
+exceeds this environment's compile-service limits (round-5 measurement:
+>15 min vs ~3 min for the Pallas build).
 
-This kernel fuses the whole sweep: per (column-tile, band) grid cell it
-keeps the band's g-point slab in VMEM, recomputes layer quantities
-inside the down/up loops (VPU recompute is free next to HBM), and
-accumulates the quadrature-weighted flux sums directly, so per-g
-radiances never exist in HBM.  Remaining traffic: one read of
-taug/fracs (padded to 16 g per band) + tiny band arrays + four
-(nz+1, ncol) flux outputs.
+Kernel design (round 5 — the round-4 kernel measured 57 ms at bench
+shapes, ~4x its own floor, because it recomputed every transcendental
+per layer in BOTH sweeps over a (16 band, 16 g) layout that pads 140
+real g-points to 256):
+
+- Flat g layout: grid (column-tile, g-chunk) with 140 = 10 chunks x 14
+  g-points — zero padding, so exactly one ``exp`` per real (g, layer,
+  column).
+- One precompute phase per grid cell evaluates transmittances and
+  Planck sources vectorized over the whole (14, nz, tile) slab into
+  VMEM scratch; the down/up sweeps are then pure 2-FMA recurrences.
+- ``exp(-od_tot)`` is factored as ``exp(-od_gas) * exp(-od_cloud)``:
+  the cloud factor is per BAND (16/140 of the g-space), computed once
+  in the XLA prologue, so per-g transcendental work is a single exp.
+- Band-indexed inputs (Planck, emissivity, diffusivity, cloud optics)
+  stay in band space in HBM; the kernel selects band->g rows with an
+  exact one-hot dot (Precision.HIGHEST; 0/1 weights, lossless) against
+  a per-chunk (14, 16) selection matrix — no (140, nz, ncol) HBM
+  expansion of any band quantity.
+- Per-band flux sums accumulate into (nz+1, tile) scratch, added to
+  the revisited output block once per cell.
 
 Scope: the production fast path — float32, analytic transmittance
 (use_tables=False), band-level clouds, no dF/dTs.  Other variants
@@ -29,119 +45,150 @@ import jax.numpy as jnp
 import numpy as np
 
 NBANDS = 16
-NGPAD = 16          # g-points per band after padding (max real ng is 16)
-COL_TILE = 256
+GT = 14             # g-points per grid chunk (140 = 10 x 14, exact)
+COL_TILE = 128
+ZCHUNK = 12         # precompute z-blocking (bounds VMEM temporaries)
 
 
-def _layer_quants(tg, fr, blay, bup, bdn, odcl, cfl):
-    """All per-layer (g, C) quantities of rtrn.f90:280-340, analytic
-    transmittance path (lw_spectral._tbl_lookup use_tables=False)."""
-    cloudy = cfl >= 1.0e-6
-    odcl = jnp.where(cloudy, odcl, 0.0)
-    od = jnp.maximum(tg, 0.0)
-    od_safe = jnp.maximum(od, 1.0e-12)
-    expo = jnp.exp(-od_safe)
-    small = od <= 0.06
-    atrans = jnp.where(small, od - 0.5 * od * od, 1.0 - expo)
-    tfacgas = jnp.where(
-        small, od / 6.0,
-        1.0 - 2.0 * (1.0 / od_safe - expo / jnp.maximum(1.0 - expo,
-                                                        1.0e-30)))
-    odtot = od + odcl
-    odtot_safe = jnp.maximum(odtot, 1.0e-12)
-    expot = jnp.exp(-odtot_safe)
-    small_t = odtot < 0.06
-    atot = jnp.where(small_t, odtot - 0.5 * odtot * odtot, 1.0 - expot)
-    tfactot = jnp.where(
-        small_t, odtot / 6.0,
-        1.0 - 2.0 * (1.0 / odtot_safe - expot / jnp.maximum(1.0 - expot,
-                                                            1.0e-30)))
-    bbdgas = fr * (blay + tfacgas * bdn)
-    bbugas = fr * (blay + tfacgas * bup)
-    bbdtot = fr * (blay + tfactot * bdn)
-    bbutot = fr * (blay + tfactot * bup)
-    abscld = 1.0 - jnp.exp(-odcl)
-    efcl = jnp.where(cloudy, abscld * cfl, 0.0)
-    return (atrans, atot, bbdgas, bbugas, bbdtot, bbutot, efcl, cfl,
-            cloudy)
+def _sel3(M, band_arr):
+    """Exact band->g selection of a (16, zc, C) slab -> (GT, zc, C).
+
+    M is the chunk's (GT, 16) one-hot band map; multiplying by exact
+    0.0/1.0 and summing is a lossless gather of band rows, expressed as
+    16 VPU multiply-accumulate passes (no reshapes, no MXU rounding)."""
+    out = M[:, 0][:, None, None] * band_arr[0][None]
+    for b in range(1, NBANDS):
+        out = out + M[:, b][:, None, None] * band_arr[b][None]
+    return out
+
+
+def _sel2(M, band_arr):
+    """Band->g selection of a (16, C) array -> (GT, C)."""
+    out = M[:, 0][:, None] * band_arr[0][None]
+    for b in range(1, NBANDS):
+        out = out + M[:, b][:, None] * band_arr[b][None]
+    return out
 
 
 def _rtrn_kernel(nz, tg_ref, fr_ref, plk_ref, plv_ref, pbnd_ref, sem_ref,
-                 secd_ref, odc_ref, cf_ref,
-                 outu_ref, outd_ref, outuc_ref, outdc_ref):
-    """One (column-tile, band) cell: full dn+up sweep, flux accumulate."""
+                 secd_ref, odclb_ref, expb_ref, efclb_ref, cf_ref, m_ref,
+                 outu_ref, outd_ref, outuc_ref, outdc_ref,
+                 atr_ref, aeff_ref, sdn_ref, sup_ref, gdn_ref, gup_ref,
+                 accu_ref, accd_ref, accuc_ref, accdc_ref):
+    """One (column-tile, g-chunk) cell: precompute + dn/up sweeps."""
     import jax.experimental.pallas as pl
 
-    b = pl.program_id(1)
-    sec = secd_ref[pl.ds(b, 1), :]                     # (1, C)
-    C = sec.shape[1]
+    j = pl.program_id(1)
 
-    @pl.when(b == 0)
+    @pl.when(j == 0)
     def _():
         outu_ref[:] = jnp.zeros_like(outu_ref)
         outd_ref[:] = jnp.zeros_like(outd_ref)
         outuc_ref[:] = jnp.zeros_like(outuc_ref)
         outdc_ref[:] = jnp.zeros_like(outdc_ref)
 
-    def layer(z):
-        tg = tg_ref[0, :, pl.ds(z, 1), :][:, 0, :] * sec
-        fr = fr_ref[0, :, pl.ds(z, 1), :][:, 0, :]
-        blay = plk_ref[0, pl.ds(z, 1), :]              # (1, C)
-        bup = plv_ref[0, pl.ds(z + 1, 1), :] - blay
-        bdn = plv_ref[0, pl.ds(z, 1), :] - blay
-        odcl = odc_ref[0, pl.ds(z, 1), :] * sec
-        cfl = cf_ref[0, pl.ds(z, 1), :]                # (1, C)
-        return _layer_quants(tg, fr, blay, bup, bdn, odcl, cfl)
+    M = m_ref[0]                                   # (GT, 16) one-hot
+    C = cf_ref.shape[1]
+    sec_g = _sel2(M, secd_ref[:])[:, None, :]      # (GT, 1, C)
+    cfl = cf_ref[:]                                # (nz, C)
 
-    def gsum(r):                                       # (NGPAD, C) -> (1, C)
+    # ---- precompute phase: all layer quantities into scratch ----------
+    for z0 in range(0, nz, ZCHUNK):
+        z1 = min(z0 + ZCHUNK, nz)
+        zc = z1 - z0
+        od = jnp.maximum(tg_ref[:, z0:z1, :] * sec_g, 0.0)
+        od_safe = jnp.maximum(od, 1.0e-12)
+        expo = jnp.exp(-od_safe)
+        small = od <= 0.06
+        atrans = jnp.where(small, od - 0.5 * od * od, 1.0 - expo)
+        tfacgas = jnp.where(
+            small, od / 6.0,
+            1.0 - 2.0 * (1.0 / od_safe
+                         - expo / jnp.maximum(1.0 - expo, 1.0e-30)))
+        odcl = _sel3(M, odclb_ref[:, z0:z1, :])
+        expb = _sel3(M, expb_ref[:, z0:z1, :])
+        efcl = _sel3(M, efclb_ref[:, z0:z1, :])
+        odtot = od + odcl
+        odtot_safe = jnp.maximum(odtot, 1.0e-12)
+        expot = expo * expb                       # exp(-od) * exp(-odcl)
+        small_t = odtot < 0.06
+        atot = jnp.where(small_t, odtot - 0.5 * odtot * odtot,
+                         1.0 - expot)
+        tfactot = jnp.where(
+            small_t, odtot / 6.0,
+            1.0 - 2.0 * (1.0 / odtot_safe
+                         - expot / jnp.maximum(1.0 - expot, 1.0e-30)))
+
+        fr = fr_ref[:, z0:z1, :]
+        blay = _sel3(M, plk_ref[:, z0:z1, :])
+        bdn = _sel3(M, plv_ref[:, z0:z1, :]) - blay
+        bup = _sel3(M, plv_ref[:, z0 + 1:z1 + 1, :]) - blay
+        gdn = fr * (blay + tfacgas * bdn) * atrans
+        gup = fr * (blay + tfacgas * bup) * atrans
+        bbdtot = fr * (blay + tfactot * bdn)
+        bbutot = fr * (blay + tfactot * bup)
+        # slice-then-expand (a combined [None, z0:z1, :] traces as a
+        # gather, which Mosaic cannot lower)
+        cfl_c = jnp.expand_dims(
+            jax.lax.slice_in_dim(cfl, z0, z1, axis=0), 0)
+        cld = cfl_c >= 1.0e-6
+        atr_ref[:, z0:z1, :] = atrans
+        aeff_ref[:, z0:z1, :] = jnp.where(
+            cld, atrans + efcl * (1.0 - atrans), atrans)
+        sdn_ref[:, z0:z1, :] = jnp.where(
+            cld, gdn + cfl_c * (bbdtot * atot - gdn), gdn)
+        sup_ref[:, z0:z1, :] = jnp.where(
+            cld, gup + cfl_c * (bbutot * atot - gup), gup)
+        gdn_ref[:, z0:z1, :] = gdn
+        gup_ref[:, z0:z1, :] = gup
+
+    def gsum(r):                                   # (GT, C) -> (1, C)
         # quadrature weights are pre-folded into fracs by the caller, so
         # every radiance is already weighted: exact f32 sublane reduce
         return jnp.sum(r, axis=0, keepdims=True)
 
-    # ---- downward sweep: top layer (nz-1) to surface ----
+    # ---- downward sweep: top layer (nz-1) to surface ------------------
+    def slab(ref, z):
+        return ref[:, pl.ds(z, 1), :][:, 0, :]     # (GT, C)
+
+    accd_ref[nz:nz + 1, :] = jnp.zeros((1, C), jnp.float32)  # TOA dn = 0
+    accdc_ref[nz:nz + 1, :] = jnp.zeros((1, C), jnp.float32)
+
     def dn_body(t, carry):
-        radld, radclrd = carry
+        rad, radc = carry
         z = nz - 1 - t
-        (atrans, atot, bbdgas, _, bbdtot, _, efcl, cfl,
-         cloudy) = layer(z)
-        gassrc = bbdgas * atrans
-        rad_cloudy = (radld - radld * (atrans + efcl * (1.0 - atrans))
-                      + gassrc + cfl * (bbdtot * atot - gassrc))
-        rad_clear = radld + (bbdgas - radld) * atrans
-        radld = jnp.where(cloudy, rad_cloudy, rad_clear)
-        radclrd = radclrd + (bbdgas - radclrd) * atrans
-        outd_ref[pl.ds(z, 1), :] += gsum(radld)
-        outdc_ref[pl.ds(z, 1), :] += gsum(radclrd)
-        return radld, radclrd
+        rad = rad * (1.0 - slab(aeff_ref, z)) + slab(sdn_ref, z)
+        radc = radc * (1.0 - slab(atr_ref, z)) + slab(gdn_ref, z)
+        accd_ref[pl.ds(z, 1), :] = gsum(rad)
+        accdc_ref[pl.ds(z, 1), :] = gsum(radc)
+        return rad, radc
 
-    zero = jnp.zeros((NGPAD, C), jnp.float32)
-    radld, radclrd = jax.lax.fori_loop(0, nz, dn_body, (zero, zero))
+    zero = jnp.zeros((GT, C), jnp.float32)
+    rad, radc = jax.lax.fori_loop(0, nz, dn_body, (zero, zero))
 
-    # ---- surface source + reflection (rtrn.f90:460-476) ----
-    fr_sfc = fr_ref[0, :, 0, :]                        # (NGPAD, C)
-    rad0 = fr_sfc * pbnd_ref[pl.ds(b, 1), :]
-    reflect = 1.0 - sem_ref[pl.ds(b, 1), :]
-    radlu = rad0 + reflect * radld
-    radclru = rad0 + reflect * radclrd
-    outu_ref[pl.ds(0, 1), :] += gsum(radlu)
-    outuc_ref[pl.ds(0, 1), :] += gsum(radclru)
+    # ---- surface source + reflection (rtrn.f90:460-476) ---------------
+    rad0 = fr_ref[:, 0, :] * _sel2(M, pbnd_ref[:])
+    reflect = 1.0 - _sel2(M, sem_ref[:])
+    radu = rad0 + reflect * rad
+    raduc = rad0 + reflect * radc
+    accu_ref[0:1, :] = gsum(radu)
+    accuc_ref[0:1, :] = gsum(raduc)
 
-    # ---- upward sweep: surface layer 0 to top ----
+    # ---- upward sweep: surface layer 0 to top -------------------------
     def up_body(z, carry):
-        radlu, radclru = carry
-        (atrans, atot, _, bbugas, _, bbutot, efcl, cfl,
-         cloudy) = layer(z)
-        gassrc = bbugas * atrans
-        rad_cloudy = (radlu - radlu * (atrans + efcl * (1.0 - atrans))
-                      + gassrc + cfl * (bbutot * atot - gassrc))
-        rad_clear = radlu + (bbugas - radlu) * atrans
-        radlu = jnp.where(cloudy, rad_cloudy, rad_clear)
-        radclru = radclru + (bbugas - radclru) * atrans
-        outu_ref[pl.ds(z + 1, 1), :] += gsum(radlu)
-        outuc_ref[pl.ds(z + 1, 1), :] += gsum(radclru)
-        return radlu, radclru
+        radu, raduc = carry
+        radu = radu * (1.0 - slab(aeff_ref, z)) + slab(sup_ref, z)
+        raduc = raduc * (1.0 - slab(atr_ref, z)) + slab(gup_ref, z)
+        accu_ref[pl.ds(z + 1, 1), :] = gsum(radu)
+        accuc_ref[pl.ds(z + 1, 1), :] = gsum(raduc)
+        return radu, raduc
 
-    jax.lax.fori_loop(0, nz, up_body, (radlu, radclru))
+    jax.lax.fori_loop(0, nz, up_body, (radu, raduc))
+
+    outu_ref[:] += accu_ref[:]
+    outd_ref[:] += accd_ref[:]
+    outuc_ref[:] += accuc_ref[:]
+    outdc_ref[:] += accdc_ref[:]
 
 
 @functools.partial(jax.jit, static_argnames=('interpret',))
@@ -157,37 +204,20 @@ def rtrn_lw_fused(taug, fracs, planklay, planklev, plankbnd, semiss,
     """
     import jax.experimental.pallas as pl
     from jax.experimental.pallas import tpu as pltpu
-    from .lw_spectral import NG, NGPT
+    from .lw_spectral import NGB, NGPT
 
+    f32 = jnp.float32
     nz, ncol = taug.shape[:2]
     ncolp = -(-ncol // COL_TILE) * COL_TILE
     cpad = ncolp - ncol
+    n_gc = NGPT // GT
+    assert n_gc * GT == NGPT
 
-    # scatter the 140 real g-points into the (band, NGPAD) padded layout
-    gmap = np.zeros((NBANDS, NGPAD), np.int32)
-    gmask = np.zeros((NBANDS, NGPAD), bool)
-    off = 0
-    for bi, ng in enumerate(NG):
-        gmap[bi, :ng] = off + np.arange(ng)
-        gmask[bi, :ng] = True
-        off += ng
-    assert off == NGPT
-    gmap_j = jnp.asarray(gmap.reshape(-1))
-    gmask_j = jnp.asarray(gmask.reshape(-1), taug.dtype)
-
-    def to_gpad(x):                       # (nz, ncol, 140) -> (16,16,nz,ncolp)
-        xp = jnp.moveaxis(x, -1, 0)[gmap_j] * gmask_j[:, None, None]
-        xp = xp.reshape(NBANDS, NGPAD, nz, ncol)
-        if cpad:
-            xp = jnp.pad(xp, ((0, 0), (0, 0), (0, 0), (0, cpad)))
-        return xp
-
-    tg = to_gpad(taug)
-    # fold the per-g quadrature weight into the Planck fractions: every
-    # additive source term (and hence every radiance) is proportional to
-    # fracs, so the flux g-sums reduce to plain sums — keeping the
-    # reduction exact f32 on the VPU (an MXU dot would round bf16 here)
-    fr = to_gpad(fracs * dwave_g[None, None, :].astype(fracs.dtype))
+    # per-chunk one-hot band-selection matrices (GT, 16)
+    ngb = np.asarray(NGB, np.int64)
+    M = (ngb.reshape(n_gc, GT)[:, :, None]
+         == np.arange(NBANDS)[None, None, :]).astype(np.float32)
+    M = jnp.asarray(M)
 
     def cols(x):                          # (..., ncol) -> (..., ncolp)
         if cpad:
@@ -195,52 +225,75 @@ def rtrn_lw_fused(taug, fracs, planklay, planklev, plankbnd, semiss,
             return jnp.pad(x, pads)
         return x
 
+    tg = cols(jnp.moveaxis(taug, -1, 0))               # (140, nz, ncolp)
+    # fold the per-g quadrature weight into the Planck fractions: every
+    # additive source term (and hence every radiance) is proportional to
+    # fracs, so the flux g-sums reduce to plain sums — keeping the
+    # reduction exact f32 on the VPU (an MXU dot would round bf16 here)
+    fr = cols(jnp.moveaxis(
+        fracs * dwave_g[None, None, :].astype(fracs.dtype), -1, 0))
+
     plk = cols(jnp.moveaxis(planklay, -1, 0))          # (16, nz, ncolp)
     plv = cols(jnp.moveaxis(planklev, -1, 0))          # (16, nz+1, ncolp)
     pbnd = cols(plankbnd.T)                            # (16, ncolp)
     sem = cols(semiss)                                 # (16, ncolp)
     secd = cols(secdiff)                               # (16, ncolp)
-    odc = cols(jnp.moveaxis(taucld_band, -1, 0))       # (16, nz, ncolp)
-    cf = cols(cldfrac)[None]                           # (1, nz, ncolp)
+    cf = cols(cldfrac)                                 # (nz, ncolp)
+
+    # band-space cloud optics (cheap: 16/140 of g-space), computed once
+    # here rather than per g-chunk inside the kernel
+    cloudy_b = (cf >= 1.0e-6)[None]
+    odclb = jnp.where(cloudy_b,
+                      cols(jnp.moveaxis(taucld_band, -1, 0))
+                      * secd[:, None, :], 0.0).astype(f32)
+    expb = jnp.exp(-odclb)
+    efclb = jnp.where(cloudy_b, (1.0 - expb) * cf[None], 0.0).astype(f32)
 
     n_ct = ncolp // COL_TILE
-    grid = (n_ct, NBANDS)
+    grid = (n_ct, n_gc)
     C = COL_TILE
 
     kernel = functools.partial(_rtrn_kernel, nz)
-    out_shape = [jax.ShapeDtypeStruct((nz + 1, ncolp), jnp.float32)] * 4
+    out_shape = [jax.ShapeDtypeStruct((nz + 1, ncolp), f32)] * 4
     out_spec = pl.BlockSpec((nz + 1, C), lambda i, j: (0, i),
                             memory_space=pltpu.VMEM)
+    g_spec = pl.BlockSpec((GT, nz, C), lambda i, j: (j, 0, i),
+                          memory_space=pltpu.VMEM)
+    b3_spec = pl.BlockSpec((NBANDS, nz, C), lambda i, j: (0, 0, i),
+                           memory_space=pltpu.VMEM)
+    b2_spec = pl.BlockSpec((NBANDS, C), lambda i, j: (0, i),
+                           memory_space=pltpu.VMEM)
+    scratch_g = pltpu.VMEM((GT, nz, C), f32)
+    scratch_f = pltpu.VMEM((nz + 1, C), f32)
+
     outs = pl.pallas_call(
         kernel,
         grid=grid,
         out_shape=out_shape,
         in_specs=[
-            pl.BlockSpec((1, NGPAD, nz, C), lambda i, j: (j, 0, 0, i),
-                         memory_space=pltpu.VMEM),        # tg
-            pl.BlockSpec((1, NGPAD, nz, C), lambda i, j: (j, 0, 0, i),
-                         memory_space=pltpu.VMEM),        # fr
-            pl.BlockSpec((1, nz, C), lambda i, j: (j, 0, i),
-                         memory_space=pltpu.VMEM),        # plk
-            pl.BlockSpec((1, nz + 1, C), lambda i, j: (j, 0, i),
-                         memory_space=pltpu.VMEM),        # plv
-            pl.BlockSpec((NBANDS, C), lambda i, j: (0, i),
-                         memory_space=pltpu.VMEM),        # pbnd
-            pl.BlockSpec((NBANDS, C), lambda i, j: (0, i),
-                         memory_space=pltpu.VMEM),        # sem
-            pl.BlockSpec((NBANDS, C), lambda i, j: (0, i),
-                         memory_space=pltpu.VMEM),        # secd
-            pl.BlockSpec((1, nz, C), lambda i, j: (j, 0, i),
-                         memory_space=pltpu.VMEM),        # odc
-            pl.BlockSpec((1, nz, C), lambda i, j: (0, 0, i),
-                         memory_space=pltpu.VMEM),        # cf (band-invar)
+            g_spec,                                    # tg
+            g_spec,                                    # fr
+            b3_spec,                                   # plk
+            pl.BlockSpec((NBANDS, nz + 1, C), lambda i, j: (0, 0, i),
+                         memory_space=pltpu.VMEM),     # plv
+            b2_spec,                                   # pbnd
+            b2_spec,                                   # sem
+            b2_spec,                                   # secd
+            b3_spec,                                   # odclb
+            b3_spec,                                   # expb
+            b3_spec,                                   # efclb
+            pl.BlockSpec((nz, C), lambda i, j: (0, i),
+                         memory_space=pltpu.VMEM),     # cf
+            pl.BlockSpec((1, GT, NBANDS), lambda i, j: (j, 0, 0),
+                         memory_space=pltpu.VMEM),     # M
         ],
         out_specs=[out_spec] * 4,
+        scratch_shapes=[scratch_g] * 6 + [scratch_f] * 4,
         cost_estimate=pl.CostEstimate(
             flops=int(60 * NGPT * nz * ncolp),
             bytes_accessed=int(tg.size * 8 + 5 * nz * ncolp * 4),
-            transcendentals=int(4 * NGPT * nz * ncolp)),
+            transcendentals=int(NGPT * nz * ncolp)),
         interpret=interpret,
-    )(tg, fr, plk, plv, pbnd, sem, secd, odc, cf)
+    )(tg, fr, plk, plv, pbnd, sem, secd, odclb, expb, efclb, cf, M)
     totu, totd, totuc, totdc = [o[:, :ncol] for o in outs]
     return totu, totd, totuc, totdc
