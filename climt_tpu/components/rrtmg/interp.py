@@ -63,6 +63,57 @@ def mix_rows(table, terms):
         precision=jax.lax.Precision.HIGH)
 
 
+def mix_rows_windowed(table, terms, window):
+    """``mix_rows`` restricted to a per-level row window (f32 path).
+
+    The key-species tables are laid out as jp-major blocks
+    (jp, jt, eta); at any fixed model level the pressure index jp spans
+    at most ~2 of the 13 (lower) / 47 (upper) jp values, so every
+    nonzero-weight row index at that level falls inside a ``window``-row
+    span.  Contracting a per-level dynamic table slice instead of the
+    full table cuts the one-hot matmul's flops AND the materialized
+    sparse-weight traffic by rows/window (3-12x) at identical numerics
+    (the same rows are selected with the same weights; zero-weight
+    clipped indices contribute exactly 0 either way).
+
+    Args:
+      table: (rows, ng).
+      terms: [(idx, w)] with idx/w of shape (nz, ncol); weights already
+        include regime masks, so out-of-regime indices carry w == 0.
+      window: static row-window size; must cover the worst per-level
+        spread of nonzero-weight indices (callers size it as 4 jp-blocks
+        — the physical spread is <= 2 blocks plus the jp+1 side).
+    Returns:
+      (nz, ncol, ng) in the weights' dtype.
+    """
+    terms = list(terms)
+    rows, ng = table.shape
+    if rows <= window:
+        return mix_rows(table, terms)
+    big = jnp.int32(rows)
+    lo = None
+    for idx, w in terms:
+        cand = jnp.where(w != 0.0, idx, big)
+        m = jnp.min(cand, axis=1)                # (nz,)
+        lo = m if lo is None else jnp.minimum(lo, m)
+    base = jnp.clip(lo, 0, rows - window)        # (nz,)
+    iota = jnp.arange(window, dtype=jnp.int32)
+    W = None
+    for idx, w in terms:
+        rel = idx - base[:, None]
+        # out-of-window safety: drop (exact 0), never select a wrong row
+        w = jnp.where((rel >= 0) & (rel < window), w, 0.0)
+        rel = jnp.clip(rel, 0, window - 1)
+        t = w[..., None] * (rel[..., None] == iota)
+        W = t if W is None else W + t
+    tbl_z = jax.vmap(
+        lambda b: jax.lax.dynamic_slice_in_dim(table, b, window, axis=0))(
+            base)                                # (nz, window, ng)
+    return jax.lax.dot_general(
+        W, tbl_z.astype(W.dtype), (((2,), (1,)), ((0,), (0,))),
+        precision=jax.lax.Precision.HIGH)
+
+
 def lin_rows(table, idx, frac, weight=None):
     """weight * (table[idx] + frac * (table[idx+1] - table[idx])).
 

@@ -50,7 +50,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax import lax
 
-from .interp import lin_rows, mix_rows
+from .interp import lin_rows, mix_rows, mix_rows_windowed
 
 _DATA_DIR = os.path.join(os.path.dirname(__file__), '..', '..', 'data')
 _SUPPORT = os.path.join(_DATA_DIR, 'rrtmg_lw_support.npz')
@@ -470,9 +470,16 @@ def taumol_lw(cs, wx, dtype, tables=None):
                 sc1 = jnp.where(trop, 0.0, speccomb_u1)
 
             # 8-term 2x2x2 (pressure, temperature, eta) interpolation as
-            # one sparse-weight MXU contraction (interp.mix_rows); the
-            # speccomb column factors are folded into the term weights
+            # sparse-weight MXU contractions; the speccomb column
+            # factors are folded into the term weights.  f32 splits the
+            # regimes and contracts per-level table WINDOWS
+            # (interp.mix_rows_windowed — at a fixed level jp spans <=2
+            # of the 13/47 pressure blocks, so a 4-block window holds
+            # every nonzero-weight row at 3-12x less MXU/HBM work);
+            # f64 golden parity keeps the merged full-table path.
+            use_window = dtype != jnp.float64
             terms = []
+            terms_lo, terms_up = [], []
             for side, (f0name, f1name) in (
                     ('i0', ('fac00', 'fac10')), ('i1', ('fac01', 'fac11'))):
                 sc = sc0 if side == 'i0' else sc1
@@ -493,6 +500,20 @@ def taumol_lw(cs, wx, dtype, tables=None):
                             iu = ((ind0b if side == 'i0' else ind1b)
                                   + nsp_off * nspb
                                   + (eta_off if nspb == 5 else 0))
+                        if nspa != 9 and nspb != 5 and eta_off:
+                            continue        # eta term absent on both sides
+                        if use_window:
+                            if have_lo and not (eta_off and nspa != 9):
+                                scl = (speccomb_l if side == 'i0'
+                                       else speccomb_l1)
+                                terms_lo.append(
+                                    (il, jnp.where(trop, wl * scl, 0.0)))
+                            if have_up and not (eta_off and nspb != 5):
+                                scu = (speccomb_u if side == 'i0'
+                                       else speccomb_u1)
+                                terms_up.append(
+                                    (iu, jnp.where(trop, 0.0, wu * scu)))
+                            continue
                         if have_lo and have_up:
                             w = jnp.where(trop, wl, wu)
                             idx = jnp.where(trop, il, rows_a + iu)
@@ -502,10 +523,16 @@ def taumol_lw(cs, wx, dtype, tables=None):
                         else:
                             w = jnp.where(trop, 0.0, wu)
                             idx = iu
-                        if nspa != 9 and nspb != 5 and eta_off:
-                            continue        # eta term absent on both sides
                         terms.append((idx, w * sc))
-            taug = taug + mix_rows(table, terms)
+            if use_window:
+                if have_lo:
+                    taug = taug + mix_rows_windowed(
+                        absa, terms_lo, 4 * 5 * nspa)
+                if have_up:
+                    taug = taug + mix_rows_windowed(
+                        absb, terms_up, 4 * 5 * nspb)
+            else:
+                taug = taug + mix_rows(table, terms)
 
         # --- water-vapor self/foreign continuum -------------------------
         selfref, forref = tab('selfref'), tab('forref')

@@ -39,7 +39,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax import lax
 
-from .interp import lin_rows, mix_rows
+from .interp import lin_rows, mix_rows, mix_rows_windowed
 
 _DATA = os.path.join(os.path.dirname(__file__), '..', '..', 'data',
                      'rrtmg_sw_kdist.npz')
@@ -318,9 +318,18 @@ def taumol_sw(cs, isolvar, svar_f, svar_s, svar_i,
                 speccomb = speccomb * jnp.where(trop, kscale, 1.0)
 
             # 8-term 2x2x2 (pressure, temperature, eta) interpolation as
-            # one sparse-weight MXU contraction (interp.mix_rows);
-            # speccomb (and band 23's kscale) fold into the term weights
+            # sparse-weight MXU contractions; speccomb (and band 23's
+            # kscale) fold into the term weights.  f32 splits regimes
+            # and contracts per-level table windows
+            # (interp.mix_rows_windowed); f64 keeps the merged
+            # full-table path (golden parity).
+            use_window = dtype != jnp.float64
+            if have_lo:
+                sc_lo = speccomb_l * (bd.get('kscale_lo') or 1.0)
+            if have_up:
+                sc_up = speccomb_u
             terms = []
+            terms_lo, terms_up = [], []
             for ind_sel, f0, f1 in (
                     ('i0', 'fac00', 'fac10'), ('i1', 'fac01', 'fac11')):
                 for fac_name, nsp_off in ((f0, 0), (f1, 1)):
@@ -336,6 +345,14 @@ def taumol_sw(cs, isolvar, svar_f, svar_s, svar_i,
                             wu = fac * (fsu if eta_off else (1.0 - fsu))
                             iu = ((ind0b if ind_sel == 'i0' else ind1b)
                                   + nsp_off * nspb + eta_off)
+                        if use_window:
+                            if have_lo and not (eta_off and nspa != 9):
+                                terms_lo.append(
+                                    (il, jnp.where(trop, wl * sc_lo, 0.0)))
+                            if have_up and not (eta_off and nspb != 5):
+                                terms_up.append(
+                                    (iu, jnp.where(trop, 0.0, wu * sc_up)))
+                            continue
                         if have_lo and have_up:
                             w = jnp.where(trop, wl, wu)
                             idx = jnp.where(trop, il, rows_a + iu)
@@ -346,7 +363,15 @@ def taumol_sw(cs, isolvar, svar_f, svar_s, svar_i,
                             w = jnp.where(trop, 0.0, wu)
                             idx = iu
                         terms.append((idx, w * speccomb))
-            taug = taug + mix_rows(table, terms)
+            if use_window:
+                if have_lo:
+                    taug = taug + mix_rows_windowed(
+                        absa, terms_lo, 4 * 5 * nspa)
+                if have_up:
+                    taug = taug + mix_rows_windowed(
+                        absb, terms_up, 4 * 5 * nspb)
+            else:
+                taug = taug + mix_rows(table, terms)
 
         # --- water-vapor self/foreign continuum -------------------------
         selfref, forref = tab('selfref'), tab('forref')
