@@ -70,7 +70,9 @@ def main():
     # ---- standalone radiation ------------------------------------------
     import bench
     t0 = time.perf_counter()
-    rate = bench.measure_radiation(nz=60, ncol=8192, repeats=2)
+    rad_fn, rad_ncol = bench.build_radiation_bench()
+    compiled = rad_fn.lower().compile()
+    rate = bench.measure_radiation_compiled(compiled, rad_ncol)
     log('radiation (60 lev, 8192 col) incl compile: {:.2f}s total, '
         '{:.3g} columns/s steady'.format(time.perf_counter() - t0, rate))
 
