@@ -122,3 +122,45 @@ def test_lw_f32_extreme_no_nan():
     out = _lw(c, jnp.float32, use_tables=False)
     for arr in out:
         assert np.isfinite(np.asarray(arr)).all()
+
+
+def test_mix_rows_windowed_matches_full():
+    """The per-level windowed key-species contraction must reproduce the
+    full-table one-hot contraction exactly when indices fit the window
+    (they are the same rows with the same weights), including across
+    levels with different window bases."""
+    from climt_tpu.components.rrtmg.interp import mix_rows, \
+        mix_rows_windowed
+    rng = np.random.RandomState(5)
+    nz, ncol, rows, ng = 12, 64, 585, 16
+    nspa = 9
+    tbl = jnp.asarray(rng.rand(rows, ng), jnp.float32)
+    # structured indices like taumol's: per-level jp base, per-cell jt/eta
+    jp = np.clip((np.arange(nz) * 12 // nz)[:, None]
+                 + rng.randint(0, 2, (nz, ncol)), 0, 11)
+    terms = []
+    for nsp_off in (0, 1):
+        for eta_off in (0, 1):
+            jt = rng.randint(0, 4, (nz, ncol))
+            js = rng.randint(0, 8, (nz, ncol))
+            idx = ((jp + nsp_off) * 5 + jt) * nspa + js + eta_off
+            w = rng.rand(nz, ncol).astype('f4')
+            terms.append((jnp.asarray(idx, jnp.int32), jnp.asarray(w)))
+    full = mix_rows(tbl, terms)
+    win = mix_rows_windowed(tbl, terms, 4 * 5 * nspa)
+    np.testing.assert_allclose(np.asarray(win), np.asarray(full),
+                               rtol=2e-6, atol=1e-7)
+
+
+def test_mix_rows_windowed_drops_out_of_window():
+    """An index outside the window must contribute exactly zero (safety
+    drop), never a wrong row."""
+    from climt_tpu.components.rrtmg.interp import mix_rows_windowed
+    rows, ng, nz, ncol = 585, 8, 4, 8
+    tbl = jnp.asarray(np.ones((rows, ng)), jnp.float32)
+    idx = jnp.zeros((nz, ncol), jnp.int32)
+    w = jnp.ones((nz, ncol), jnp.float32)
+    far = jnp.full((nz, ncol), rows - 1, jnp.int32)
+    out = mix_rows_windowed(tbl, [(idx, w), (far, w)], 40)
+    # only the in-window term contributes (weight 1 x row of ones)
+    np.testing.assert_allclose(np.asarray(out), 1.0, rtol=1e-6)
